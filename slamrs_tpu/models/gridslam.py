@@ -1,0 +1,172 @@
+"""Rao-Blackwellized particle-filter occupancy-grid SLAM.
+
+Parity surface: ``GridMapSlam`` (slamrs/slam/src/grid/slam.rs:27-97) +
+``ParticleFilter`` (grid/particle.rs):
+
+per update: for every particle, (1) sample a successor pose from the
+odometry motion model, (2) weight by ``p(z | x, m) * p(x | x0, u)``,
+(3) integrate the scan into the particle's own map, then normalize weights
+and systematically resample (slam.rs:45-75; resample every update, as the
+reference does).
+
+TPU-first design (not a port):
+
+* The reference iterates particles serially and resampling deep-clones
+  ``(Pose, Map)`` — whole log-odds vectors — per surviving particle
+  (particle.rs:78-105).  Here the particle set is a leading array axis:
+  poses ``f32[P, 3]``, grids ``f32[P, H, W]`` resident in HBM; motion
+  sampling / weighting / integration are ``vmap`` over P, and resampling is
+  one gather (``jnp.take``) by ancestor index.
+* Weights are accumulated in log space (the reference multiplies f64
+  pdf values; log-f32 is the numerically-equivalent stable form).
+* Deliberate deviations from reference quirks (SURVEY §7):
+  - ``map.likelihood()`` computed-and-dropped per particle (slam.rs:58)
+    is omitted (pure dead work).
+  - The reference reads the best-particle index computed *before*
+    resampling out of the *resampled* array (slam.rs:77-81 after
+    particle.rs:39-47) — an off-by-reshuffle; here the estimated pose is
+    the pre-resample argmax particle's pose (the intended semantics).
+* ``resample_neff_frac`` optionally gates resampling on N_eff (standard
+  RBPF practice; default 1.0 resamples every update like the reference —
+  the gate avoids the HBM-heaviest op, the grid gather, when weights are
+  still uniform enough).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slamrs_tpu.core import motion
+from slamrs_tpu.core.types import OdometryReading, Scan
+from slamrs_tpu.ops import resample as _resample
+from slamrs_tpu.ops.grid import GridSpec2D, grid_integrate, grid_log_likelihood
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSlamConfig:
+    """Parity: GridMapSlamConfig (slam.rs:18-25).  Static (hashable)."""
+
+    position_x: float = -2.0
+    position_y: float = -2.0
+    width: float = 4.0
+    height: float = 4.0
+    resolution: float = 0.02
+    n_particles: int = 10
+    max_scan_range: float = 1.0  # bounds the DDA step count (static)
+    resample_neff_frac: float = 1.0  # 1.0 == always resample (reference)
+
+    @property
+    def grid_spec(self) -> GridSpec2D:
+        return GridSpec2D(self.position_x, self.position_y, self.width,
+                          self.height, self.resolution)
+
+    @property
+    def max_ray_steps(self) -> int:
+        return self.grid_spec.max_ray_steps(self.max_scan_range)
+
+
+class GridSlamState(NamedTuple):
+    poses: Array  # f32[..., P, 3]
+    grids: Array  # f32[..., P, H, W] log-odds
+    weights: Array  # f32[..., P] normalized
+    best_pose: Array  # f32[..., 3] argmax-weight particle pose
+    best_idx: Array  # i32[...]
+
+    @staticmethod
+    def init(config: GridSlamConfig, batch_shape=()) -> "GridSlamState":
+        p = config.n_particles
+        spec = config.grid_spec
+        return GridSlamState(
+            poses=jnp.zeros((*batch_shape, p, 3), jnp.float32),
+            grids=spec.new_grid((*batch_shape, p)),
+            weights=jnp.full((*batch_shape, p), 1.0 / p, jnp.float32),
+            best_pose=jnp.zeros((*batch_shape, 3), jnp.float32),
+            best_idx=jnp.zeros(batch_shape, jnp.int32),
+        )
+
+
+class GridSlamOutputs(NamedTuple):
+    pose: Array  # f32[..., 3] estimated pose (topic_pose)
+    n_eff: Array  # f32[...] effective particle count diagnostic
+    resampled: Array  # bool[...]
+
+
+def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
+           key: Array, config: GridSlamConfig
+           ) -> tuple[GridSlamState, GridSlamOutputs]:
+    """One SLAM update for a single world (vmap over worlds for fleets).
+
+    scan/odometry: unbatched (shared across the world's particles).
+    """
+    p = config.n_particles
+    spec = config.grid_spec
+    max_steps = config.max_ray_steps
+
+    k_motion, k_resample = jax.random.split(key)
+
+    # 1) motion sampling, one key per particle (slam.rs:55)
+    keys = jax.random.split(k_motion, p)
+    sample_one = lambda k, pose: motion.sample(
+        k, pose, odometry.distance_left, odometry.distance_right,
+        odometry.wheel_base)
+    new_poses = jax.vmap(sample_one)(keys, state.poses)
+
+    # 2) weights: log p(z|x,m) + log p(x|x0,u) (slam.rs:62)
+    log_lik = jax.vmap(
+        lambda g, q: grid_log_likelihood(g, spec, q, scan.angles,
+                                         scan.distances, scan.valid,
+                                         scan.present)
+    )(state.grids, new_poses)
+    log_motion = motion.log_prob(state.poses, new_poses,
+                                 odometry.distance_left,
+                                 odometry.distance_right, odometry.wheel_base)
+    log_w = log_lik + log_motion
+
+    # 3) map integration per particle (slam.rs:67)
+    grids = jax.vmap(
+        lambda g, q: grid_integrate(g, spec, q, scan.angles, scan.distances,
+                                    scan.valid, scan.present, max_steps)
+    )(state.grids, new_poses)
+
+    # 4) normalize, argmax (particle.rs:37-56)
+    weights = _resample.normalize_log_weights(log_w)
+    best_idx = jnp.argmax(weights, axis=-1).astype(jnp.int32)
+    best_pose = new_poses[best_idx]
+    n_eff = _resample.effective_particles(weights)
+
+    # 5) systematic resample via ancestor gather (particle.rs:78-105)
+    do_resample = n_eff <= config.resample_neff_frac * p
+    ancestors = _resample.systematic_resample(k_resample, weights)
+    identity = jnp.arange(p, dtype=jnp.int32)
+    ancestors = jnp.where(do_resample, ancestors, identity)
+
+    new_poses = jnp.take(new_poses, ancestors, axis=0)
+    grids = jnp.take(grids, ancestors, axis=0)
+    weights = jnp.where(do_resample, jnp.full((p,), 1.0 / p), weights)
+
+    new_state = GridSlamState(
+        poses=new_poses,
+        grids=grids,
+        weights=weights,
+        best_pose=best_pose,
+        best_idx=best_idx,
+    )
+    return new_state, GridSlamOutputs(pose=best_pose, n_eff=n_eff,
+                                      resampled=do_resample)
+
+
+def estimated_probability_grid(state: GridSlamState) -> Array:
+    """Occupancy probabilities of the best particle's map.
+
+    Parity: GridMapSlam::estimated_likelihood (slam.rs:83-88) — the argmax
+    particle's log-odds grid converted cell-wise to probability.
+    """
+    grid = state.grids[..., state.best_idx, :, :] if state.grids.ndim > 3 \
+        else state.grids[state.best_idx]
+    return 1.0 - 1.0 / (1.0 + jnp.exp(grid))
