@@ -13,9 +13,17 @@ Parity surface: ``EKFLandmarkSlam`` (slamrs/slam/src/landmark/ekf.rs:17-244):
   at the expected position (ekf.rs:128-136), 2x5 measurement Jacobian
   lifted by the F matrix (ekf.rs:148-173), observation noise (0.03 m, 3°)
   (ekf.rs:176-177), angle wrapping of the innovation and of theta
-  (ekf.rs:186-199).  NOTE: the reference's ``h_jacobian_low`` omits the
-  textbook 1/q normalization (ekf.rs:149-160, i.e. H_ref = q * H_textbook);
-  replicated verbatim for parity.
+  (ekf.rs:186-199).
+
+Deliberate deviation: the reference's ``h_jacobian_low`` omits the textbook
+1/q normalization (ekf.rs:149-160, i.e. H_ref = q * H_textbook, cf. Thrun
+et al. / the cited lecture's formulation).  For landmarks closer than 1 m
+(q < 1) that inflates the Kalman gain by 1/q and makes the filter
+marginally unstable — empirically it diverges within a few updates on the
+``landmarks.yaml`` scene (which the reference ships with ``running:
+false``, so the defect is latent there).  The default here is the correct
+1/q-normalized Jacobian; set ``reference_jacobian=True`` to replicate the
+reference verbatim.
 
 TPU-first design: the dynamic landmark loop becomes a ``lax.scan`` over
 fixed observation lanes with validity masking; the 5xN F-matrix lift
@@ -47,6 +55,8 @@ class EkfConfig:
     motion_std_theta_deg: float = 5.0
     obs_std_distance: float = 0.03  # ekf.rs:176
     obs_std_angle_deg: float = 3.0
+    # replicate the reference's unnormalized Jacobian (see module docstring)
+    reference_jacobian: bool = False
 
     @property
     def dim(self) -> int:
@@ -156,13 +166,17 @@ def update(state: EkfState, observation: LandmarkScan,
         z_bar = jnp.stack([sqrt_q, jnp.arctan2(dy, dx) - mu[2]])
         z = jnp.stack([dist, angle])
 
-        # H = h_low @ F lift, assembled directly into [2, D]
-        # (ekf.rs:149-173; note the missing 1/q — replicated verbatim)
+        # H = h_low @ F lift, assembled directly into [2, D] (ekf.rs:149-173)
+        # scale = 1/q (textbook, default) or 1 (reference verbatim)
+        scale = 1.0 if config.reference_jacobian else 1.0 / q
         h = jnp.zeros((2, d), jnp.float32)
-        h = h.at[0, 0].set(-sqrt_q * dx).at[0, 1].set(-sqrt_q * dy)
-        h = h.at[1, 0].set(dy).at[1, 1].set(-dx).at[1, 2].set(-q)
-        h = h.at[0, li].set(sqrt_q * dx).at[0, li + 1].set(sqrt_q * dy)
-        h = h.at[1, li].set(-dy).at[1, li + 1].set(dx)
+        h = h.at[0, 0].set(scale * -sqrt_q * dx).at[0, 1].set(
+            scale * -sqrt_q * dy)
+        h = h.at[1, 0].set(scale * dy).at[1, 1].set(scale * -dx)
+        h = h.at[1, 2].set(scale * -q)
+        h = h.at[0, li].set(scale * sqrt_q * dx).at[0, li + 1].set(
+            scale * sqrt_q * dy)
+        h = h.at[1, li].set(scale * -dy).at[1, li + 1].set(scale * dx)
 
         s_mat = h @ sigma @ h.T + q_noise  # [2, 2]
         # closed-form 2x2 inverse (ekf.rs:180-184 try_inverse)
