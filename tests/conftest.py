@@ -1,13 +1,18 @@
 """Test harness configuration.
 
-Tests run on a virtual 8-device CPU mesh (no TPU needed): the env vars must
-be set before jax initializes its backends, hence this conftest sets them at
-import time.
+Tests run on a virtual 8-device CPU mesh (no TPU needed).  The env must be
+adjusted before jax initializes: this container boots an `axon` TPU PJRT
+plugin through sitecustomize (guarded by PALLAS_AXON_POOL_IPS) which would
+otherwise claim the backend, so both the guard and JAX_PLATFORMS are
+overridden here.  sitecustomize runs before pytest imports this conftest,
+but registration only pins the backend at first jax backend init, which
+happens later — forcing JAX_PLATFORMS=cpu keeps tests off the tunnel.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
