@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from slamrs_tpu.core import motion
 from slamrs_tpu.core.types import OdometryReading, Scan
 from slamrs_tpu.ops import resample as _resample
-from slamrs_tpu.ops.grid import GridSpec2D, grid_integrate, grid_log_likelihood
+from slamrs_tpu.ops.grid import (GridSpec2D, dense_window_for, grid_integrate,
+                                 grid_integrate_dense, grid_log_likelihood)
 
 Array = jnp.ndarray
 
@@ -60,6 +61,11 @@ class GridSlamConfig:
     n_particles: int = 10
     max_scan_range: float = 1.0  # bounds the DDA step count (static)
     resample_neff_frac: float = 1.0  # 1.0 == always resample (reference)
+    # "dda": exact reference-parity scatter walk (grid/ray.rs semantics).
+    # "dense": TPU-native scatter-free windowed polar update (see
+    #          ops.grid.grid_integrate_dense) — equivalent sensor model,
+    #          orders of magnitude faster at scale.
+    integrate: str = "dda"
 
     @property
     def grid_spec(self) -> GridSpec2D:
@@ -110,12 +116,11 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
 
     k_motion, k_resample = jax.random.split(key)
 
-    # 1) motion sampling, one key per particle (slam.rs:55)
-    keys = jax.random.split(k_motion, p)
-    sample_one = lambda k, pose: motion.sample(
-        k, pose, odometry.distance_left, odometry.distance_right,
-        odometry.wheel_base)
-    new_poses = jax.vmap(sample_one)(keys, state.poses)
+    # 1) motion sampling (slam.rs:55) — one batched draw covers all
+    # particles (motion.sample broadcasts the noise over the pose batch)
+    new_poses = motion.sample(k_motion, state.poses,
+                              odometry.distance_left,
+                              odometry.distance_right, odometry.wheel_base)
 
     # 2) weights: log p(z|x,m) + log p(x|x0,u) (slam.rs:62)
     log_lik = jax.vmap(
@@ -129,10 +134,16 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     log_w = log_lik + log_motion
 
     # 3) map integration per particle (slam.rs:67)
-    grids = jax.vmap(
-        lambda g, q: grid_integrate(g, spec, q, scan.angles, scan.distances,
-                                    scan.valid, scan.present, max_steps)
-    )(state.grids, new_poses)
+    if config.integrate == "dense":
+        window = dense_window_for(spec, config.max_scan_range)
+        integrate_one = lambda g, q: grid_integrate_dense(
+            g, spec, q, scan.angles, scan.distances, scan.valid,
+            scan.present, window)
+    else:
+        integrate_one = lambda g, q: grid_integrate(
+            g, spec, q, scan.angles, scan.distances, scan.valid,
+            scan.present, max_steps)
+    grids = jax.vmap(integrate_one)(state.grids, new_poses)
 
     # 4) normalize, argmax (particle.rs:37-56)
     weights = _resample.normalize_log_weights(log_w)

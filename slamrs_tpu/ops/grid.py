@@ -240,6 +240,101 @@ def grid_integrate(grid: Array, spec: GridSpec2D, pose: Array, angles: Array,
     return grid.at[ys, xs].add(vals, mode="promise_in_bounds")
 
 
+def grid_integrate_dense(grid: Array, spec: GridSpec2D, pose: Array,
+                         angles: Array, distances: Array, valid: Array,
+                         present: Array, window: int,
+                         multiplicity: bool = True) -> Array:
+    """Scatter-free scan integration: the TPU-native fast path.
+
+    Same inverse sensor model as :func:`grid_integrate` (map.rs:148-172)
+    but formulated *dense*: every cell in a ``window x window`` region
+    around the robot computes its own polar coordinates (r, phi) relative
+    to the pose, looks up the beam covering phi (the scan is a uniform
+    angular table — 1 degree spacing in every reference configuration),
+    and applies the inverse-sensor-model log-odds directly.  This replaces
+    the reference's per-beam DDA walk + per-cell mutation with pure
+    vectorized VPU math + one gather — no scatter at all, which on TPU is
+    the difference between ~ms and ~µs per particle.
+
+    Semantic note vs the DDA path: the DDA increments a cell once per
+    *beam visit*, so near the robot (where many beams cross one cell)
+    log-odds accumulate multiplicity-fold per scan.  With
+    ``multiplicity=True`` the dense update compensates by scaling the
+    increment with the local beam density ``max(1, 1/(r * dphi))``,
+    matching the DDA's aggregate behavior; beyond ``r = cell/dphi``
+    (~16 cells for 360 beams) both formulations visit each cell once.
+    Cells farther than ``measured + tolerance/2`` along their beam get a
+    zero increment in both formulations, so the support matches the DDA
+    walk (which stops ``additional_steps = 2`` cells past the endpoint).
+
+    ``window`` is a static cell count (use
+    :func:`dense_window_for` to size it from the scan range).
+    """
+    from slamrs_tpu.ops.lookup import radix_lookup
+
+    b = angles.shape[-1]
+    dphi = 2.0 * jnp.pi / b
+    start = spec.world_to_grid(pose[..., 0:2])  # grid coords, continuous
+
+    # full-grid mode when the window covers most of the grid: skips the
+    # batched dynamic slice/update (which lowers to gather/scatter under
+    # vmap) at the price of a little extra elementwise math.
+    full = window * window * 2 >= spec.rows * spec.cols
+    wh, ww = (spec.rows, spec.cols) if full else (window, window)
+
+    if full:
+        ox = jnp.zeros((), jnp.int32)
+        oy = jnp.zeros((), jnp.int32)
+    else:
+        ox = jnp.clip(jnp.floor(start[..., 0]).astype(jnp.int32) - ww // 2,
+                      0, max(spec.cols - ww, 0))
+        oy = jnp.clip(jnp.floor(start[..., 1]).astype(jnp.int32) - wh // 2,
+                      0, max(spec.rows - wh, 0))
+
+    # cell centers of the window, in grid coords
+    wy = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
+    wx = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
+    cx = (ox + wx).astype(jnp.float32) + 0.5
+    cy = (oy + wy).astype(jnp.float32) + 0.5
+
+    dx = cx - start[..., 0]
+    dy = cy - start[..., 1]
+    r = jnp.sqrt(dx * dx + dy * dy)  # cell units (matches map.rs:100)
+
+    # beam lookup: world angle of the cell minus robot heading
+    phi = jnp.arctan2(dy, dx) - pose[..., 2]
+    rel = phi - angles[..., 0]  # relative to the scan's first beam angle
+    beam = jnp.round(rel / dphi).astype(jnp.int32) % b
+
+    # gather-free beam-table lookup (see ops.lookup): one [B, 3] table
+    table = jnp.stack([distances / spec.resolution,
+                       valid.astype(jnp.float32),
+                       present.astype(jnp.float32)], axis=-1)
+    vals = radix_lookup(table, beam)
+    d_meas = vals[..., 0]
+    was_hit = vals[..., 1] > 0.5
+    pres = vals[..., 2] > 0.5
+
+    inc = inverse_sensor_model_log_odds(r, d_meas, was_hit)
+    if multiplicity:
+        inc = inc * jnp.maximum(1.0, 1.0 / (jnp.maximum(r, 0.5) * dphi))
+    inc = jnp.where(pres, inc, 0.0)
+
+    if full:
+        return grid + inc
+    win = jax.lax.dynamic_slice(grid, (oy, ox), (wh, ww))
+    return jax.lax.dynamic_update_slice(grid, win + inc, (oy, ox))
+
+
+def dense_window_for(spec: GridSpec2D, max_range_m: float,
+                     align: int = 8) -> int:
+    """Static window size covering the scan range (+tolerance) each side."""
+    cells = int(pymath.ceil(max_range_m / spec.resolution)) + ADDITIONAL_STEPS + 2
+    w = 2 * cells + 1
+    w = min(w, min(spec.rows, spec.cols))
+    return max((w + align - 1) // align * align, align)
+
+
 def grid_log_likelihood(grid: Array, spec: GridSpec2D, pose: Array,
                         angles: Array, distances: Array, valid: Array,
                         present: Array) -> Array:
