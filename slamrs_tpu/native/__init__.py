@@ -1,0 +1,95 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Build with ``make native`` (or let :func:`build` compile lazily).  All
+native components have pure-python/numpy fallbacks — the framework is
+fully functional without the shared library, just slower on bulk host-side
+paths (log replay).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+_DIR = Path(__file__).resolve().parent
+_LIB = _DIR / "libslamrs_native.so"
+_SOURCES = [_DIR / "neato_parser.cpp"]
+
+
+def build(force: bool = False) -> Path:
+    """Compile the native library with g++ (idempotent)."""
+    if _LIB.exists() and not force:
+        newest_src = max(s.stat().st_mtime for s in _SOURCES)
+        if _LIB.stat().st_mtime >= newest_src:
+            return _LIB
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(_LIB)] + [str(s) for s in _SOURCES]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def _load():
+    if not _LIB.exists():
+        build()
+    return ctypes.CDLL(str(_LIB))
+
+
+class _NeatoNative:
+    """ctypes facade matching slamrs_tpu.io.neato's python API."""
+
+    def __init__(self):
+        lib = _load()
+        self._lib = lib
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.neato_parse_packets.restype = ctypes.c_long
+        lib.neato_parse_packets.argtypes = [u8p, ctypes.c_long, u16p, u16p,
+                                            u8p, ctypes.c_long]
+        lib.neato_parse_frame.restype = None
+        lib.neato_parse_frame.argtypes = [u8p, u16p, u16p, u8p]
+        lib.neato_checksum_valid.restype = ctypes.c_int
+        lib.neato_checksum_valid.argtypes = [u8p]
+
+    def parse_packets(self, data: bytes):
+        import numpy as np
+        from slamrs_tpu.io.neato import BEAMS, NeatoFrame
+
+        buf = np.frombuffer(data, np.uint8)
+        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        n = self._lib.neato_parse_packets(ptr, len(buf), None, None, None, 0)
+        if n <= 0:
+            return []
+        dist = np.zeros((n, BEAMS), np.uint16)
+        stren = np.zeros((n, BEAMS), np.uint16)
+        val = np.zeros((n, BEAMS), np.uint8)
+        got = self._lib.neato_parse_packets(
+            ptr, len(buf),
+            dist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            stren.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            val.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+        assert got == n, (got, n)
+        return [NeatoFrame(dist[i], stren[i], val[i]) for i in range(n)]
+
+    def parse_frame(self, data: bytes):
+        import numpy as np
+        from slamrs_tpu.io.neato import BEAMS, FRAME_BYTES, NeatoFrame
+
+        buf = np.frombuffer(data, np.uint8)
+        if buf.size != FRAME_BYTES:
+            raise ValueError(f"frame must be {FRAME_BYTES} bytes")
+        dist = np.zeros(BEAMS, np.uint16)
+        stren = np.zeros(BEAMS, np.uint16)
+        val = np.zeros(BEAMS, np.uint8)
+        self._lib.neato_parse_frame(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            stren.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            val.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return NeatoFrame(dist, stren, val)
+
+
+try:
+    neato_native = _NeatoNative()
+except Exception:  # toolchain missing / build failure -> python fallback
+    neato_native = None

@@ -1,0 +1,90 @@
+"""Graph compiler + fleet sharding tests (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slamrs_tpu.graph.compile import compile_world, make_fused
+from slamrs_tpu.graph.config import load_config, parse_config
+
+from pathlib import Path
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+def test_compile_grid_slam_preset():
+    fw = compile_world(load_config(CONFIG_DIR / "grid_slam.yaml"))
+    assert fw.grid_config is not None
+    assert fw.icp_config is None and fw.ekf_config is None
+
+
+def test_compile_resolves_splitter_alias():
+    # icp_test.yaml: the IcpPointMapper listens on the Splitter's scanner
+    # output, which aliases the simulator's tuple topic
+    fw = compile_world(load_config(CONFIG_DIR / "icp_test.yaml"))
+    assert fw.icp_config is not None
+    assert fw.icp_config.step_threshold == pytest.approx(0.05)
+
+
+def test_compile_ekf_preset():
+    fw = compile_world(load_config(CONFIG_DIR / "landmarks.yaml"))
+    assert fw.ekf_config is not None
+
+
+def test_compile_requires_simulator():
+    with pytest.raises(ValueError, match="Simulator"):
+        compile_world(parse_config("nodes:\n- !MousePosition\n"))
+
+
+def test_fused_rollout_single_world():
+    from slamrs_tpu.models.gridslam import GridSlamConfig
+    fw = make_fused(grid_config=GridSlamConfig(resolution=0.1,
+                                               n_particles=4))
+    state = fw.init()
+    state, outs = jax.jit(lambda s: fw.rollout(s, 15))(state)
+    fired = np.asarray(outs.fired)
+    assert fired.sum() == 2  # 0.2s period at 1/30 dt -> ticks 7, 13
+    assert np.isfinite(np.asarray(outs.pose)).all()
+
+
+def test_fused_rollout_batched_worlds():
+    from slamrs_tpu.models.gridslam import GridSlamConfig
+    fw = make_fused(grid_config=GridSlamConfig(resolution=0.1,
+                                               n_particles=4))
+    state = fw.init((3,))
+    state, outs = jax.jit(lambda s: fw.rollout(s, 8))(state)
+    assert outs.pose.shape == (8, 3, 3)
+    assert state.grid.grids.shape[0] == 3
+
+
+def test_graft_entry_single_chip():
+    import sys
+    sys.path.insert(0, str(CONFIG_DIR.parent))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+
+
+def test_dryrun_multichip_8():
+    import sys
+    sys.path.insert(0, str(CONFIG_DIR.parent))
+    import __graft_entry__ as ge
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    ge.dryrun_multichip(8)
+
+
+def test_fleet_shardings_structure():
+    from slamrs_tpu.models.gridslam import GridSlamConfig
+    from slamrs_tpu.parallel.fleet import (fleet_shardings, make_mesh,
+                                           shard_world_state)
+    mesh = make_mesh(8, particle_axis=2)
+    fw = make_fused(grid_config=GridSlamConfig(resolution=0.1,
+                                               n_particles=8))
+    state = fw.init((4,))
+    state = shard_world_state(state, mesh, 4)
+    sh = fleet_shardings(state, mesh, 4)
+    assert sh.grid.grids.spec == jax.sharding.PartitionSpec("world",
+                                                            "particle")
+    assert sh.scan_timer.spec == jax.sharding.PartitionSpec()

@@ -1,0 +1,139 @@
+"""End-to-end model tests: grid SLAM / ICP mapper / EKF track a simulated
+robot (the integration-fixture strategy of SURVEY §4: the simulator IS the
+fixture, here with assertive gates instead of visual inspection)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slamrs_tpu.core.types import Command
+from slamrs_tpu.models import ekf as E
+from slamrs_tpu.models import gridslam as GS
+from slamrs_tpu.models import icp_mapper as IM
+from slamrs_tpu.models import simulator as S
+
+
+def make_scene():
+    return S.Scene.build(
+        rects=[(-1, -1, 2, 2), (-0.1, -0.4, 0.5, 0.1), (-0.6, 0.4, 0.2, 0.5)],
+        lines=[(-0.6, -0.4, 0.2, 0.4)],
+        landmarks=[(-0.1, -0.4), (-0.6, 0.4), (-0.6, -0.4), (0.6, 0.4),
+                   (0.6, -0.4)])
+
+
+def rollout(n_ticks, slam_update, init_ops, seed=0, update_period=0.2):
+    scene = make_scene()
+    params = S.SimParams.make(update_period=update_period)
+    sim = S.SimState.init()
+
+    @jax.jit
+    def step(carry, key):
+        sim, ops = carry
+        k1, k2 = jax.random.split(key)
+        sim, out = S.tick(sim, Command.make(0.05, 0.08), k1, params, scene)
+        ops, est = jax.lax.cond(
+            out.fired,
+            lambda o: slam_update(o, out, k2),
+            lambda o: (o, jnp.zeros(3)),
+            ops)
+        return (sim, ops), (out.fired, out.pose, est)
+
+    keys = jax.random.split(jax.random.key(seed), n_ticks)
+    (_, _), (fired, poses, ests) = jax.lax.scan(step, (sim, init_ops), keys)
+    f = np.asarray(fired)
+    return np.asarray(poses)[f], np.asarray(ests)[f]
+
+
+@pytest.mark.parametrize("integrate", ["dda", "dense"])
+def test_gridslam_tracks(integrate):
+    cfg = GS.GridSlamConfig(resolution=0.05, n_particles=8,
+                            integrate=integrate)
+    state = GS.GridSlamState.init(cfg)
+
+    def upd(ops, out, key):
+        st, o = GS.update(ops, out.scan, out.odometry, key, cfg)
+        return st, o.pose
+
+    true, est = rollout(180, upd, state)
+    rmse = np.sqrt(np.mean((true[:, :2] - est[:, :2]) ** 2))
+    assert rmse < 0.05, rmse
+    # heading tracks too
+    assert np.abs(true[-1, 2] - est[-1, 2]) < 0.3
+
+
+def test_icp_mapper_tracks():
+    cfg = IM.IcpMapConfig(capacity=8192, step_threshold=0.05)
+    state = IM.IcpMapState.init(cfg)
+
+    def upd(ops, out, key):
+        st, o = IM.update(ops, out.scan, cfg)
+        return st, o.pose
+
+    true, est = rollout(180, upd, state)
+    rmse = np.sqrt(np.mean((true[:, :2] - est[:, :2]) ** 2))
+    assert rmse < 0.05, rmse
+
+
+def test_icp_mapper_first_scan_initializes():
+    cfg = IM.IcpMapConfig(capacity=1024)
+    state = IM.IcpMapState.init(cfg)
+    scene = make_scene()
+    scan = S.lidar_scan(jnp.zeros(3), scene, jnp.float32(1.0))
+    state, out = IM.update(state, scan, cfg)
+    assert bool(state.initialized)
+    assert int(state.count) == int(np.asarray(scan.valid).sum())
+    np.testing.assert_allclose(np.asarray(out.pose), 0.0)  # pose unchanged
+
+
+def test_icp_mapper_voxel_dedup_bounds_growth():
+    cfg = IM.IcpMapConfig(capacity=8192, voxel_size=0.05,
+                          extent_x=-2, extent_y=-2, extent_w=4, extent_h=4)
+    state = IM.IcpMapState.init(cfg)
+    scene = make_scene()
+    scan = S.lidar_scan(jnp.zeros(3), scene, jnp.float32(1.0))
+    state, _ = IM.update(state, scan, cfg)
+    c1 = int(state.count)
+    state, _ = IM.update(state, scan, cfg)  # identical scan again
+    c2 = int(state.count)
+    assert c2 - c1 < c1 * 0.2  # nearly everything deduped
+
+
+def test_ekf_tracks_and_maps():
+    cfg = E.EkfConfig()
+    state = E.EkfState.init(cfg)
+
+    def upd(ops, out, key):
+        st, o = E.update(ops, out.landmarks, out.odometry, cfg)
+        return st, o.pose
+
+    true, est = rollout(240, upd, state)
+    rmse = np.sqrt(np.mean((true[:, :2] - est[:, :2]) ** 2))
+    assert rmse < 0.06, rmse
+
+
+def test_ekf_reference_jacobian_mode_exists():
+    cfg = E.EkfConfig(reference_jacobian=True)
+    state = E.EkfState.init(cfg)
+    scene = make_scene()
+    params = S.SimParams.make()
+    scan = S.landmark_scan(jax.random.key(0), jnp.zeros(3), scene, params)
+    from slamrs_tpu.core.types import OdometryReading
+    state, out = E.update(state, scan, OdometryReading.make(0.01, 0.012),
+                          cfg)
+    assert np.isfinite(np.asarray(out.pose)).all()
+
+
+def test_gridslam_neff_gate_skips_resampling():
+    cfg = GS.GridSlamConfig(resolution=0.1, n_particles=8,
+                            resample_neff_frac=0.0)  # never resample
+    state = GS.GridSlamState.init(cfg)
+    scene = make_scene()
+    scan = S.lidar_scan(jnp.zeros(3), scene, jnp.float32(1.0))
+    from slamrs_tpu.core.types import OdometryReading
+    state, out = GS.update(state, scan, OdometryReading.make(0.01, 0.012),
+                           jax.random.key(0), cfg)
+    assert not bool(out.resampled)
+    # weights stay non-uniform
+    w = np.asarray(state.weights)
+    assert w.std() > 0.0
