@@ -1,0 +1,116 @@
+"""CLI entrypoint: ``python -m slamrs_tpu <command>``.
+
+Parity surface: baseui/src/main.rs (the binary takes one optional config
+path, main.rs:28-33) — extended with headless subcommands:
+
+    run      <config.yaml> [--duration S] [--png out.png] [--npz out.npz]
+    rollout  <config.yaml> [--steps N] [--worlds W] — fused jitted rollout
+    replay   <file.bin>    — parse a recorded Neato log, print stats
+    bench    — run the benchmark (same as python bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_run(args):
+    from slamrs_tpu.graph.app import App
+    from slamrs_tpu.graph.nodes.viz import VisualizerNode
+
+    app = App.from_file(args.config, realtime=args.realtime)
+    app.run(duration_s=args.duration)
+    print(f"ran {args.duration}s of sim time; frame {app.frame_stats}")
+    viz = app.node(VisualizerNode)
+    if viz is not None:
+        if args.png:
+            viz.render_png(args.png)
+            print("wrote", args.png)
+        if args.npz:
+            viz.save_npz(args.npz)
+            print("wrote", args.npz)
+    app.terminate()
+
+
+def cmd_rollout(args):
+    import jax
+    import numpy as np
+
+    from slamrs_tpu.graph.compile import compile_world
+    from slamrs_tpu.graph.config import load_config
+
+    fw = compile_world(load_config(args.config))
+    shape = (args.worlds,) if args.worlds > 1 else ()
+    state = fw.init(shape)
+    state, outs = jax.jit(lambda s: fw.rollout(s, args.steps,
+                                               seed=args.seed))(state)
+    fired = np.asarray(outs.fired)
+    report = {
+        "steps": args.steps,
+        "worlds": max(args.worlds, 1),
+        "scans": int(fired.sum()),
+        "final_pose": np.asarray(outs.pose)[-1].tolist(),
+    }
+    for name in ("grid_pose", "icp_pose", "ekf_pose"):
+        est = getattr(outs, name)
+        if est is not None:
+            err = np.asarray(est)[fired] - np.asarray(outs.pose)[fired]
+            report[f"{name}_rmse_xy"] = float(
+                np.sqrt((err[..., :2] ** 2).mean()))
+    print(json.dumps(report))
+
+
+def cmd_replay(args):
+    import numpy as np
+
+    from slamrs_tpu.io.neato import load_neato_binary
+
+    frames = load_neato_binary(args.file)
+    valid = np.array([(f.valid != 0).sum() for f in frames])
+    print(json.dumps({
+        "frames": len(frames),
+        "valid_beams_median": int(np.median(valid)) if len(frames) else 0,
+    }))
+
+
+def cmd_bench(args):
+    del args
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="slamrs_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a node-graph config headlessly")
+    r.add_argument("config")
+    r.add_argument("--duration", type=float, default=10.0)
+    r.add_argument("--realtime", action="store_true")
+    r.add_argument("--png")
+    r.add_argument("--npz")
+    r.set_defaults(fn=cmd_run)
+
+    ro = sub.add_parser("rollout", help="fused jitted rollout")
+    ro.add_argument("config")
+    ro.add_argument("--steps", type=int, default=900)
+    ro.add_argument("--worlds", type=int, default=1)
+    ro.add_argument("--seed", type=int, default=0)
+    ro.set_defaults(fn=cmd_rollout)
+
+    rp = sub.add_parser("replay", help="parse a recorded Neato .bin log")
+    rp.add_argument("file")
+    rp.set_defaults(fn=cmd_replay)
+
+    b = sub.add_parser("bench", help="run the benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,27 @@ class App:
                 if sleep > 0:
                     time.sleep(sleep)
 
+    def apply_config(self, contents: str) -> None:
+        """Live config swap: terminate every node, rebuild the graph from
+        the new YAML with a fresh PubSub (the reference's config-editor
+        Apply, app.rs:121-134 — all node state is discarded)."""
+        for n in self.nodes:
+            n.terminate()
+        self.config = parse_config(contents)
+        self.pubsub = PubSub()
+        self.nodes = self.config.instantiate_nodes(self.pubsub)
+        self.time = 0.0
+
+    @staticmethod
+    def presets() -> dict:
+        """Bundled config presets (the editor's preset combo,
+        baseui/src/editor.rs:29-41)."""
+        from pathlib import Path
+
+        preset_dir = Path(__file__).resolve().parents[2] / "configs"
+        return {p.stem: p.read_text()
+                for p in sorted(preset_dir.glob("*.yaml"))}
+
     def node(self, cls):
         """First node instance of the given class (test/tooling helper)."""
         for n in self.nodes:

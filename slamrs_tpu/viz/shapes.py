@@ -1,0 +1,219 @@
+"""Headless shape renderer + 2D camera.
+
+Parity surface: ``graphics/src/{primitiverenderer,shaperenderer,camera}.rs``
+— the reference batches colored vertices into GL draw calls
+(PrimitiveRenderer), layers shape helpers on top (line/rect/circle/arrow/
+covariance-ellipse, shaperenderer.rs:17-266), and provides an orthographic
+pan/zoom camera with ``unproject`` (camera.rs:4-138).
+
+The TPU framework core has no GL context; this module reproduces the same
+API producing *vertex arrays* (numpy) that any host backend can consume —
+the built-in backend rasterizes to PNG via matplotlib.  The vertex-batch
+layout (position + RGBA, grouped by primitive type into draw calls)
+mirrors primitiverenderer.rs:5-356.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+class PrimitiveType(enum.Enum):
+    """primitiverenderer.rs PrimitiveType {Point, Line, Filled}."""
+
+    POINT = "point"
+    LINE = "line"
+    FILLED = "filled"
+
+
+@dataclass(frozen=True)
+class Color:
+    """Packed RGBA color (primitiverenderer.rs Color)."""
+
+    r: float
+    g: float
+    b: float
+    a: float = 1.0
+
+    def rgba(self):
+        return (self.r, self.g, self.b, self.a)
+
+
+Color.BLACK = Color(0, 0, 0)
+Color.WHITE = Color(1, 1, 1)
+Color.RED = Color(1, 0, 0)
+Color.GREEN = Color(0, 1, 0)
+Color.BLUE = Color(0, 0, 1)
+
+
+@dataclass
+class DrawCall:
+    primitive: PrimitiveType
+    vertices: np.ndarray  # f32[N, 2]
+    colors: np.ndarray  # f32[N, 4]
+
+
+class ShapeRenderer:
+    """Vertex-batching shape renderer (shaperenderer.rs:17-266).
+
+    Usage mirrors the reference: ``begin(ptype)``, emit shapes, ``end()``;
+    ``flush()`` returns and clears the accumulated draw calls.
+    """
+
+    def __init__(self, max_vertices: int = 1_000_000):
+        self.max_vertices = max_vertices  # shaperenderer.rs:20
+        self._calls: list[DrawCall] = []
+        self._current: PrimitiveType | None = None
+        self._verts: list = []
+        self._cols: list = []
+
+    # -- batch control ------------------------------------------------------
+
+    def begin(self, primitive: PrimitiveType) -> None:
+        if self._current is not None:
+            raise RuntimeError("begin() while a batch is open")
+        self._current = primitive
+
+    def end(self) -> None:
+        if self._current is None:
+            raise RuntimeError("end() without begin()")
+        if self._verts:
+            self._calls.append(DrawCall(
+                self._current,
+                np.asarray(self._verts, np.float32),
+                np.asarray(self._cols, np.float32)))
+        self._current = None
+        self._verts, self._cols = [], []
+
+    def flush(self) -> list[DrawCall]:
+        calls, self._calls = self._calls, []
+        return calls
+
+    def _emit(self, x, y, color: Color):
+        if len(self._verts) >= self.max_vertices:
+            return  # reference renderer drops beyond the buffer budget
+        self._verts.append((float(x), float(y)))
+        self._cols.append(color.rgba())
+
+    # -- shapes (shaperenderer.rs) -------------------------------------------
+
+    def line(self, x1, y1, x2, y2, color: Color) -> None:
+        self._emit(x1, y1, color)
+        self._emit(x2, y2, color)
+
+    def point(self, x, y, color: Color) -> None:
+        self._emit(x, y, color)
+
+    def rect(self, x, y, w, h, color: Color) -> None:
+        for (a, b), (c, d) in (((x, y), (x + w, y)),
+                               ((x + w, y), (x + w, y + h)),
+                               ((x + w, y + h), (x, y + h)),
+                               ((x, y + h), (x, y))):
+            self.line(a, b, c, d, color)
+
+    def circle(self, x, y, radius, color: Color, segments: int = 32) -> None:
+        ang = np.linspace(0, 2 * np.pi, segments + 1)
+        xs = x + radius * np.cos(ang)
+        ys = y + radius * np.sin(ang)
+        for i in range(segments):
+            self.line(xs[i], ys[i], xs[i + 1], ys[i + 1], color)
+
+    def arrow(self, x, y, angle, radius, color: Color) -> None:
+        """Heading arrow (shaperenderer.rs arrow): a triangle pointing
+        along ``angle``."""
+        tip = (x + radius * math.cos(angle), y + radius * math.sin(angle))
+        left = (x + 0.5 * radius * math.cos(angle + 2.5),
+                y + 0.5 * radius * math.sin(angle + 2.5))
+        right = (x + 0.5 * radius * math.cos(angle - 2.5),
+                 y + 0.5 * radius * math.sin(angle - 2.5))
+        for a, b in ((tip, left), (left, right), (right, tip)):
+            self.line(*a, *b, color)
+
+    def gaussian2d(self, mean, covariance, color: Color, n_std: float = 2.0,
+                   segments: int = 32) -> None:
+        """Covariance ellipse via eigendecomposition
+        (shaperenderer.rs:243-247)."""
+        cov = np.asarray(covariance, np.float64).reshape(2, 2)
+        vals, vecs = np.linalg.eigh(cov)
+        vals = np.maximum(vals, 0.0)
+        ang = np.linspace(0, 2 * np.pi, segments + 1)
+        pts = (vecs @ np.stack([np.sqrt(vals[0]) * np.cos(ang),
+                                np.sqrt(vals[1]) * np.sin(ang)]) * n_std)
+        xs = mean[0] + pts[0]
+        ys = mean[1] + pts[1]
+        for i in range(segments):
+            self.line(xs[i], ys[i], xs[i + 1], ys[i + 1], color)
+
+
+class Camera:
+    """2D orthographic pan/zoom camera (camera.rs:4-138).
+
+    World viewport width is a fixed 10 units at zoom 1 (camera.rs:52).
+    ``unproject`` maps screen pixels to world coordinates.
+    """
+
+    VIEWPORT_WIDTH = 10.0
+
+    def __init__(self, screen_w: int = 800, screen_h: int = 600):
+        self.center = np.zeros(2, np.float64)
+        self.zoom = 1.0
+        self.resize(screen_w, screen_h)
+
+    def resize(self, screen_w: int, screen_h: int) -> None:
+        self.screen_w = screen_w
+        self.screen_h = screen_h
+
+    def pan(self, dx_pixels: float, dy_pixels: float) -> None:
+        scale = self.world_width() / self.screen_w
+        self.center[0] -= dx_pixels * scale
+        self.center[1] += dy_pixels * scale  # screen y is flipped
+
+    def zoom_by(self, factor: float) -> None:
+        self.zoom = max(self.zoom * factor, 1e-6)
+
+    def world_width(self) -> float:
+        return self.VIEWPORT_WIDTH / self.zoom
+
+    def world_height(self) -> float:
+        return self.world_width() * self.screen_h / self.screen_w
+
+    def extent(self) -> tuple[float, float, float, float]:
+        hw = self.world_width() / 2
+        hh = self.world_height() / 2
+        return (self.center[0] - hw, self.center[0] + hw,
+                self.center[1] - hh, self.center[1] + hh)
+
+    def unproject(self, px: float, py: float) -> np.ndarray:
+        """Screen pixel -> world coordinates (camera.rs unproject)."""
+        x0, x1, y0, y1 = self.extent()
+        wx = x0 + (px / self.screen_w) * (x1 - x0)
+        wy = y1 - (py / self.screen_h) * (y1 - y0)
+        return np.array([wx, wy])
+
+
+def render_draw_calls(calls: list[DrawCall], path: str,
+                      camera: Camera | None = None, dpi: int = 120) -> None:
+    """Rasterize draw calls to a PNG (the host backend)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.set_aspect("equal")
+    for call in calls:
+        v, c = call.vertices, call.colors
+        if call.primitive == PrimitiveType.POINT:
+            ax.scatter(v[:, 0], v[:, 1], s=2, c=c)
+        elif call.primitive in (PrimitiveType.LINE, PrimitiveType.FILLED):
+            for i in range(0, len(v) - 1, 2):
+                ax.plot(v[i:i + 2, 0], v[i:i + 2, 1], color=c[i], lw=0.8)
+    if camera is not None:
+        x0, x1, y0, y1 = camera.extent()
+        ax.set_xlim(x0, x1)
+        ax.set_ylim(y0, y1)
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
