@@ -9,6 +9,8 @@ here, which is the numerically stable representation anyway).
 
 from __future__ import annotations
 
+import math as _pymath
+
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -65,7 +67,10 @@ def wrap_angle(theta: Array) -> Array:
     return angle_diff(0.0, theta)
 
 
-_LOG_SQRT_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+# Python float, NOT jnp: a module-level jnp op would initialize the JAX
+# backend at import time, which breaks clean-env subprocess bootstraps
+# (the driver's multi-chip dryrun re-execs with JAX_PLATFORMS=cpu).
+_LOG_SQRT_2PI = 0.5 * _pymath.log(2.0 * _pymath.pi)
 
 
 def normal_logpdf(x: Array, mean: Array, std: Array) -> Array:

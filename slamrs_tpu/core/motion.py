@@ -31,7 +31,8 @@ Array = jnp.ndarray
 
 _MIN_CENTER_STD = 0.01
 _CENTER_STD_RATE = 0.05
-_THETA_STD_BASE = jnp.deg2rad(5.0)
+# Python float (not jnp) to keep package import free of backend init.
+_THETA_STD_BASE = 5.0 * 3.141592653589793 / 180.0
 _THETA_STD_RATE = 0.1
 
 

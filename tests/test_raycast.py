@@ -15,6 +15,11 @@ def seg(x1, y1, x2, y2):
     return jnp.array([[x1, y1, x2, y2]], jnp.float32)
 
 
+# NO_HIT is a python float (1e30); the kernel returns its float32
+# rounding, so compare against the f32 value.
+NO_HIT_F32 = float(np.float32(rc.NO_HIT))
+
+
 def test_simple_intersection():
     # ray.rs:179-196: ray (0,0)->(1,1) vs segment (1,2)-(2,-2)
     u = rc.segment_intersect(jnp.array([0.0, 0.0]),
@@ -41,21 +46,21 @@ def test_scene_min_u():
 def test_parallel_ray_misses():
     u = rc.segment_intersect(jnp.array([0.0, 0.0]), jnp.array([1.0, 0.0]),
                              seg(0.0, 1.0, 5.0, 1.0))
-    assert float(u[0]) == rc.NO_HIT
+    assert float(u[0]) == NO_HIT_F32
 
 
 def test_behind_origin_is_no_hit():
     # u > 0 strict (ray.rs:78)
     u = rc.segment_intersect(jnp.array([0.0, 0.0]), jnp.array([1.0, 0.0]),
                              seg(-1.0, -1.0, -1.0, 1.0))
-    assert float(u[0]) == rc.NO_HIT
+    assert float(u[0]) == NO_HIT_F32
 
 
 def test_segment_bounds():
     # t must lie within [0, 1]: ray passes beyond the segment end
     u = rc.segment_intersect(jnp.array([0.0, 5.0]), jnp.array([1.0, 0.0]),
                              seg(2.0, 0.0, 2.0, 1.0))
-    assert float(u[0]) == rc.NO_HIT
+    assert float(u[0]) == NO_HIT_F32
 
 
 def test_mask_excludes_padded_segments():
