@@ -61,11 +61,19 @@ class GridSlamConfig:
     n_particles: int = 10
     max_scan_range: float = 1.0  # bounds the DDA step count (static)
     resample_neff_frac: float = 1.0  # 1.0 == always resample (reference)
-    # "dda": exact reference-parity scatter walk (grid/ray.rs semantics).
+    # "dda":   exact reference-parity scatter walk (grid/ray.rs semantics).
     # "dense": TPU-native scatter-free windowed polar update (see
-    #          ops.grid.grid_integrate_dense) — equivalent sensor model,
-    #          orders of magnitude faster at scale.
+    #          ops.grid.grid_integrate_dense) — equivalent sensor model.
+    # "fused": single Pallas kernel doing likelihood + integrate in one
+    #          VMEM pass per particle (ops.fused) — the throughput path;
+    #          grids get a 128-padded column axis and optionally bf16.
     integrate: str = "dda"
+    grid_dtype: str = "float32"  # "bfloat16" keeps big fleets VMEM-resident
+
+    @property
+    def padded_cols(self) -> int:
+        c = self.grid_spec.cols
+        return (c + 127) // 128 * 128
 
     @property
     def grid_spec(self) -> GridSpec2D:
@@ -88,9 +96,16 @@ class GridSlamState(NamedTuple):
     def init(config: GridSlamConfig, batch_shape=()) -> "GridSlamState":
         p = config.n_particles
         spec = config.grid_spec
+        if config.integrate == "fused":
+            dtype = jnp.bfloat16 if config.grid_dtype == "bfloat16" \
+                else jnp.float32
+            grids = jnp.zeros(
+                (*batch_shape, p, spec.rows, config.padded_cols), dtype)
+        else:
+            grids = spec.new_grid((*batch_shape, p))
         return GridSlamState(
             poses=jnp.zeros((*batch_shape, p, 3), jnp.float32),
-            grids=spec.new_grid((*batch_shape, p)),
+            grids=grids,
             weights=jnp.full((*batch_shape, p), 1.0 / p, jnp.float32),
             best_pose=jnp.zeros((*batch_shape, 3), jnp.float32),
             best_idx=jnp.zeros(batch_shape, jnp.int32),
@@ -122,28 +137,36 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
                               odometry.distance_left,
                               odometry.distance_right, odometry.wheel_base)
 
-    # 2) weights: log p(z|x,m) + log p(x|x0,u) (slam.rs:62)
-    log_lik = jax.vmap(
-        lambda g, q: grid_log_likelihood(g, spec, q, scan.angles,
-                                         scan.distances, scan.valid,
-                                         scan.present)
-    )(state.grids, new_poses)
+    # 2+3) weights log p(z|x,m) + integrate (slam.rs:62, 67).  The fused
+    # path does both in one Pallas VMEM pass; the others are separate ops.
+    if config.integrate == "fused":
+        from slamrs_tpu.ops.fused import fused_update
+
+        interpret = jax.default_backend() == "cpu"
+        grids, log_lik = fused_update(
+            state.grids, new_poses, scan.angles[..., 0], scan.distances,
+            scan.valid, scan.present, spec, scan.angles.shape[-1],
+            config.max_scan_range, resident=True, interpret=interpret)
+    else:
+        log_lik = jax.vmap(
+            lambda g, q: grid_log_likelihood(g, spec, q, scan.angles,
+                                             scan.distances, scan.valid,
+                                             scan.present)
+        )(state.grids, new_poses)
+        if config.integrate == "dense":
+            window = dense_window_for(spec, config.max_scan_range)
+            integrate_one = lambda g, q: grid_integrate_dense(
+                g, spec, q, scan.angles, scan.distances, scan.valid,
+                scan.present, window)
+        else:
+            integrate_one = lambda g, q: grid_integrate(
+                g, spec, q, scan.angles, scan.distances, scan.valid,
+                scan.present, max_steps)
+        grids = jax.vmap(integrate_one)(state.grids, new_poses)
     log_motion = motion.log_prob(state.poses, new_poses,
                                  odometry.distance_left,
                                  odometry.distance_right, odometry.wheel_base)
     log_w = log_lik + log_motion
-
-    # 3) map integration per particle (slam.rs:67)
-    if config.integrate == "dense":
-        window = dense_window_for(spec, config.max_scan_range)
-        integrate_one = lambda g, q: grid_integrate_dense(
-            g, spec, q, scan.angles, scan.distances, scan.valid,
-            scan.present, window)
-    else:
-        integrate_one = lambda g, q: grid_integrate(
-            g, spec, q, scan.angles, scan.distances, scan.valid,
-            scan.present, max_steps)
-    grids = jax.vmap(integrate_one)(state.grids, new_poses)
 
     # 4) normalize, argmax (particle.rs:37-56)
     weights = _resample.normalize_log_weights(log_w)
@@ -151,14 +174,22 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     best_pose = new_poses[best_idx]
     n_eff = _resample.effective_particles(weights)
 
-    # 5) systematic resample via ancestor gather (particle.rs:78-105)
+    # 5) systematic resample via ancestor gather (particle.rs:78-105).
+    # The grid gather moves the whole particle-map set; behind a real
+    # lax.cond it costs nothing on the (common, N_eff-gated) skip path.
+    # Under vmap the cond degrades to a select, which is the best one can
+    # do with per-world predicates anyway.
     do_resample = n_eff <= config.resample_neff_frac * p
     ancestors = _resample.systematic_resample(k_resample, weights)
     identity = jnp.arange(p, dtype=jnp.int32)
     ancestors = jnp.where(do_resample, ancestors, identity)
 
     new_poses = jnp.take(new_poses, ancestors, axis=0)
-    grids = jnp.take(grids, ancestors, axis=0)
+    grids = jax.lax.cond(
+        do_resample,
+        lambda ga: jnp.take(ga[0], ga[1], axis=0),
+        lambda ga: ga[0],
+        (grids, ancestors))
     weights = jnp.where(do_resample, jnp.full((p,), 1.0 / p), weights)
 
     new_state = GridSlamState(
@@ -172,12 +203,17 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
                                       resampled=do_resample)
 
 
-def estimated_probability_grid(state: GridSlamState) -> Array:
+def estimated_probability_grid(state: GridSlamState,
+                               config: GridSlamConfig | None = None) -> Array:
     """Occupancy probabilities of the best particle's map.
 
     Parity: GridMapSlam::estimated_likelihood (slam.rs:83-88) — the argmax
-    particle's log-odds grid converted cell-wise to probability.
+    particle's log-odds grid converted cell-wise to probability.  For the
+    fused path, pass ``config`` to slice off the 128-padded column tail.
     """
     grid = state.grids[..., state.best_idx, :, :] if state.grids.ndim > 3 \
         else state.grids[state.best_idx]
+    if config is not None:
+        grid = grid[..., :config.grid_spec.rows, :config.grid_spec.cols]
+    grid = grid.astype(jnp.float32)
     return 1.0 - 1.0 / (1.0 + jnp.exp(grid))

@@ -1,0 +1,136 @@
+"""Fused Pallas RBPF kernel: correctness vs oracle + pipeline behavior.
+
+Runs in Pallas interpret mode on the CPU mesh (the kernel itself is
+exercised compiled on real TPU by bench.py / __graft_entry__).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slamrs_tpu.core.types import OdometryReading, Scan
+from slamrs_tpu.models import gridslam as gs
+from slamrs_tpu.ops.fused import (encode_beam_table, fused_update,
+                                  fused_update_reference, window_rows)
+from slamrs_tpu.ops.grid import GridSpec2D, grid_integrate_dense, \
+    grid_log_likelihood, dense_window_for
+
+SPEC = GridSpec2D(-2.0, -2.0, 4.0, 4.0, 0.05)
+B = 360
+
+
+def _mk(p=3, seed=0):
+    grids = jax.random.normal(jax.random.key(seed), (p, 80, 128),
+                              jnp.float32) * 0.5
+    grids = grids.at[:, ::3, ::2].set(0.0)
+    poses = jnp.stack([
+        jax.random.uniform(jax.random.key(seed + 1), (p,), jnp.float32,
+                           -1.3, 1.3),
+        jax.random.uniform(jax.random.key(seed + 2), (p,), jnp.float32,
+                           -1.3, 1.3),
+        jax.random.uniform(jax.random.key(seed + 3), (p,), jnp.float32,
+                           -3.0, 3.0)], axis=-1)
+    dist = jax.random.uniform(jax.random.key(seed + 4), (B,), jnp.float32,
+                              0.1, 1.0)
+    valid = jax.random.bernoulli(jax.random.key(seed + 5), 0.8, (B,))
+    present = jnp.ones((B,), bool).at[350:].set(False)
+    return grids, poses, dist, valid, present
+
+
+def test_kernel_matches_oracle_interpret():
+    grids, poses, dist, valid, present = _mk()
+    a0 = jnp.float32(0.0)
+    g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
+                          SPEC, B, 1.0, interpret=True)
+    g2, l2 = fused_update_reference(grids, poses, a0, dist, valid, present,
+                                    SPEC, B, 1.0)
+    # identical math modulo the atan2 polynomial: allow rare bin flips
+    diff = np.abs(np.asarray(g1) - np.asarray(g2))
+    frac = float((diff > 0.01).mean())
+    assert frac < 1e-4, f"bin-flip fraction {frac}"
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-3, atol=0.05)
+
+
+def test_oracle_matches_dense_integrate():
+    """The fused sensor model must agree with grid_integrate_dense on the
+    window region (same inverse sensor model + multiplicity compensation)."""
+    grids, poses, dist, valid, present = _mk(p=2, seed=7)
+    a0 = jnp.float32(0.0)
+    angles = jnp.arange(B, dtype=jnp.float32) * (2 * np.pi / B)
+    g2, _ = fused_update_reference(grids, poses, a0, dist, valid, present,
+                                   SPEC, B, 1.0)
+    window = dense_window_for(SPEC, 1.0)
+    dense = jax.vmap(lambda g, q: grid_integrate_dense(
+        g[:, :SPEC.cols], SPEC, q, angles, dist, valid, present, window)
+    )(grids, poses)
+    # compare increments on the logical grid
+    inc_f = np.asarray(g2[:, :, :SPEC.cols] - grids[:, :, :SPEC.cols])
+    inc_d = np.asarray(dense - grids[:, :, :SPEC.cols])
+    # same support + same classification for nearly all cells (different
+    # angular rasterization -> sub-cell boundary flips allowed)
+    agree = (np.abs(inc_f - inc_d) < 0.05) | \
+            (np.sign(inc_f) == np.sign(inc_d))
+    assert agree.mean() > 0.98, f"agreement {agree.mean()}"
+
+
+def test_endpoint_likelihood_statistics():
+    """Ring-density likelihood ~ per-beam endpoint gather (statistical)."""
+    grids, poses, dist, valid, present = _mk(p=4, seed=11)
+    a0 = jnp.float32(0.0)
+    angles = jnp.arange(B, dtype=jnp.float32) * (2 * np.pi / B)
+    _, lik_f = fused_update_reference(grids, poses, a0, dist, valid,
+                                      present, SPEC, B, 1.0)
+    lik_ref = jax.vmap(lambda g, q: grid_log_likelihood(
+        g[:, :SPEC.cols], SPEC, q, angles, dist, valid, present)
+    )(grids, poses)
+    # same scale and ordering-correlation of particle weights
+    lf = np.asarray(lik_f)
+    lr = np.asarray(lik_ref)
+    assert np.all(lf < 0) and np.all(lr < 0)
+    assert np.abs(lf / lr - 1.0).max() < 0.25, (lf, lr)
+
+
+def test_gridslam_update_fused_runs():
+    cfg = gs.GridSlamConfig(position_x=-2, position_y=-2, width=4.0,
+                            height=4.0, resolution=0.05, n_particles=8,
+                            max_scan_range=1.0, integrate="fused",
+                            resample_neff_frac=0.5)
+    state = gs.GridSlamState.init(cfg)
+    assert state.grids.shape == (8, 80, 128)  # padded cols
+    angles = jnp.arange(B, dtype=jnp.float32) * (2 * np.pi / B)
+    scan = Scan(angles=angles,
+                distances=jnp.full((B,), 0.8, jnp.float32),
+                strengths=jnp.ones((B,), jnp.float32),
+                valid=jnp.ones((B,), bool),
+                present=jnp.ones((B,), bool))
+    odo = OdometryReading(jnp.float32(0.01), jnp.float32(0.012),
+                          jnp.float32(0.1))
+    state2, out = gs.update(state, scan, odo, jax.random.key(0), cfg)
+    assert np.isfinite(float(out.n_eff))
+    assert state2.grids.dtype == state.grids.dtype
+    # the map must have changed inside the scan disc
+    assert float(jnp.abs(state2.grids).sum()) > 0
+
+    prob = gs.estimated_probability_grid(state2, cfg)
+    assert prob.shape == (80, 80)
+    assert float(prob.min()) >= 0.0 and float(prob.max()) <= 1.0
+
+
+def test_encode_beam_table_flags():
+    d = jnp.array([0.5, 0.7, 0.0, 0.9], jnp.float32)
+    valid = jnp.array([True, False, True, True])
+    present = jnp.array([True, True, True, False])
+    t = encode_beam_table(d, valid, present)[0]
+    assert float(t[0]) == np.float32(0.5)        # valid hit
+    assert float(t[1]) == float(np.float32(-0.7))  # invalid, present
+    assert float(t[2]) > 0              # zero-distance valid -> epsilon
+    assert float(t[3]) == 0.0 and np.signbit(float(t[3]))  # absent -> -0.0
+    assert float(t[400]) == 0.0 and np.signbit(float(t[400]))  # padding
+
+
+def test_window_rows_covers_disc():
+    wr = window_rows(SPEC, 1.0)
+    disc = 2 * (int(np.ceil(1.0 / SPEC.resolution)) + 3) + 1
+    assert wr % 8 == 0 and wr >= min(disc, SPEC.rows)
