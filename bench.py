@@ -70,15 +70,16 @@ def bench_grid_slam(particles=1024, width=4.0, resolution=0.05,
     state = fw.init()
 
     def make_run(n):
+        cmds = Command(jnp.full((n,), 0.05, jnp.float32),
+                       jnp.full((n,), 0.08, jnp.float32))
+
         @jax.jit
         def run(state, key):
-            def body(c, k):
-                s, outs = fw.step(
-                    c, Command(jnp.float32(0.05), jnp.float32(0.08)), k)
-                return s, outs.n_eff
-            keys = jax.random.split(key, n)
-            c, neffs = jax.lax.scan(body, state, keys)
-            return (jnp.sum(neffs) + jnp.float32(c.grid.grids[0, 0, 0])
+            if update_period > 0:
+                c, outs = fw.rollout_cadence(state, n, seed=0, commands=cmds)
+            else:
+                c, outs = fw.rollout(state, n, seed=0, commands=cmds)
+            return (jnp.sum(outs.n_eff) + jnp.float32(c.grid.grids[0, 0, 0])
                     + c.pose[0])
         return run
 

@@ -20,7 +20,8 @@ def cmd_run(args):
     from slamrs_tpu.graph.app import App
     from slamrs_tpu.graph.nodes.viz import VisualizerNode
 
-    app = App.from_file(args.config, realtime=args.realtime)
+    app = App.from_file(args.config, realtime=args.realtime,
+                        with_renderer=bool(args.png))
     app.run(duration_s=args.duration)
     print(f"ran {args.duration}s of sim time; frame {app.frame_stats}")
     viz = app.node(VisualizerNode)
@@ -31,6 +32,14 @@ def cmd_run(args):
         if args.npz:
             viz.save_npz(args.npz)
             print("wrote", args.npz)
+    elif args.png and app.renderer is not None:
+        # no Visualizer node: rasterize the nodes' draw-hook output
+        # (ShapeTest / GaussianTest / EKF heat-map debug shapes)
+        from slamrs_tpu.viz.shapes import render_draw_calls
+
+        calls = app.renderer.flush()
+        render_draw_calls(calls, args.png)
+        print("wrote", args.png)
     app.terminate()
 
 

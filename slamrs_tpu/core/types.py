@@ -26,6 +26,7 @@ Design notes (TPU-first, not a port):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -174,3 +175,23 @@ class LandmarkScan(NamedTuple):
             association=jnp.zeros(sh, jnp.int32),
             valid=jnp.zeros(sh, bool),
         )
+
+
+@dataclasses.dataclass
+class Gaussian2D:
+    """2D Gaussian domain type.
+
+    Parity: ``Gaussian2D { mean, covariance }``
+    (slamrs/common/src/gaussian.rs:3-16).  Host-side numpy payload (used
+    by the Gaussian debug node and covariance-ellipse rendering).
+    """
+
+    mean: "object" = None  # np [2]
+    covariance: "object" = None  # np [2, 2]
+
+    def __post_init__(self):
+        import numpy as np
+        if self.mean is None:
+            self.mean = np.zeros(2, np.float32)
+        if self.covariance is None:
+            self.covariance = np.eye(2, dtype=np.float32)

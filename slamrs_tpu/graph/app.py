@@ -22,7 +22,7 @@ from slamrs_tpu.utils import PerfStats
 
 class App:
     def __init__(self, config: Config, frame_dt: float = 1.0 / 30.0,
-                 realtime: bool = False):
+                 realtime: bool = False, with_renderer: bool = False):
         self.pubsub = PubSub()
         self.config = config
         self.nodes = config.instantiate_nodes(self.pubsub)
@@ -30,6 +30,13 @@ class App:
         self.realtime = realtime
         self.frame_stats = PerfStats()
         self.time = 0.0
+        # world renderer for nodes' draw hooks (App::custom_painting /
+        # WorldObj, app.rs:142-155); opt-in — headless runs skip vertex work
+        self.renderer = None
+        if with_renderer:
+            from slamrs_tpu.viz.shapes import ShapeRenderer
+
+            self.renderer = ShapeRenderer()
 
     @staticmethod
     def from_file(path: str, **kwargs) -> "App":
@@ -51,6 +58,9 @@ class App:
             for n in self.nodes:
                 n.update()
             self.pubsub.tick()
+            if self.renderer is not None:
+                for n in self.nodes:
+                    n.draw(self.renderer)
         self.time += self.frame_dt
 
     def run(self, frames: Optional[int] = None,

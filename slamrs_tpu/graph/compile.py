@@ -101,9 +101,15 @@ class FusedWorld:
 
     # ---- one tick ---------------------------------------------------------
 
-    def step(self, state: WorldState, cmd: Command, key: Array
-             ) -> tuple[WorldState, WorldOutputs]:
-        """One dt tick: motion always; scan + SLAM under the fired cond."""
+    def step(self, state: WorldState, cmd: Command, key: Array,
+             force_fire: bool = False) -> tuple[WorldState, WorldOutputs]:
+        """One dt tick: motion always; scan + SLAM under the fired cond.
+
+        ``force_fire`` statically removes the cond (the caller knows the
+        scan fires this tick — rollout_cadence / update_period == 0).
+        The cond is not free: XLA copies the large SLAM state through the
+        untaken branch (~18 us per 42 MB of grids).
+        """
         from slamrs_tpu.core import motion
 
         batch = state.pose.shape[:-1]
@@ -183,10 +189,16 @@ class FusedWorld:
             return (accum_l, accum_r, grid, icp, ekf,
                     prev_g, prev_i, prev_e, batchz)
 
-        (accum_l, accum_r, grid, icp, ekf, grid_pose, icp_pose, ekf_pose,
-         n_eff) = jax.lax.cond(
-            fired, do_scan, no_scan,
-            (pose, accum_l, accum_r, state.grid, state.icp, state.ekf, key))
+        operand = (pose, accum_l, accum_r, state.grid, state.icp, state.ekf,
+                   key)
+        if force_fire or float(self.params.update_period) == 0.0:
+            fired = jnp.bool_(True)
+            (accum_l, accum_r, grid, icp, ekf, grid_pose, icp_pose,
+             ekf_pose, n_eff) = do_scan(operand)
+        else:
+            (accum_l, accum_r, grid, icp, ekf, grid_pose, icp_pose,
+             ekf_pose, n_eff) = jax.lax.cond(fired, do_scan, no_scan,
+                                             operand)
 
         new_state = WorldState(
             pose=pose,
@@ -240,6 +252,116 @@ class FusedWorld:
 
         return jax.lax.scan(body, state,
                             (commands.speed_left, commands.speed_right, keys))
+
+    def rollout_cadence(self, state: WorldState, n_steps: int, seed: int = 0,
+                        commands: Optional[Command] = None
+                        ) -> tuple[WorldState, WorldOutputs]:
+        """Cadence-structured rollout: identical semantics to
+        :meth:`rollout`, restructured for throughput.
+
+        ``step``'s per-tick ``lax.cond`` must route the (large) SLAM state
+        through both branches, and XLA copies it on the skip path — at
+        1,024 particle grids that is ~14 us per idle tick.  Here the
+        deterministic scalar scan timer is unrolled on the host into
+        frames of ``k`` idle ticks + 1 scan tick; idle ticks advance only
+        the small sim state (pose/accumulators), so the SLAM state flows
+        straight through the outer scan carry with no conditional at all.
+
+        Outputs are per-frame (the scan ticks) rather than per-tick.
+        """
+        import numpy as np
+
+        if commands is None:
+            commands = self.commands_for(n_steps)
+        dt = float(self.dt)
+        # concrete host values for the unroll (params are stored as jnp
+        # scalars; they are concrete here — only `state` may be traced)
+        period = float(self.params.update_period)
+
+        # host-side unroll of the accumulator timer (sim.rs:109-112);
+        # under jit the state timer is traced — the unroll then assumes a
+        # fresh timer (0.0), which holds for rollout-from-init
+        try:
+            timer = float(state.scan_timer)
+        except Exception:
+            timer = 0.0
+        fired = np.zeros(n_steps, bool)
+        for i in range(n_steps):
+            timer += dt
+            if timer > period:
+                fired[i] = True
+                timer -= period
+        fire_idx = np.flatnonzero(fired)
+        if fire_idx.size == 0:
+            return self.rollout(state, n_steps, seed, commands)
+        n_frames = fire_idx.size
+        starts = np.concatenate([[0], fire_idx[:-1] + 1])
+        idle = fire_idx - starts  # idle ticks before each scan tick
+        kmax = int(idle.max())
+
+        # per-frame command slabs [n_frames, kmax + 1] (idle ticks padded
+        # by repeating the scan tick's command under the mask)
+        cl = np.asarray(commands.speed_left)
+        cr = np.asarray(commands.speed_right)
+        slab_l = np.zeros((n_frames, kmax + 1), np.float32)
+        slab_r = np.zeros((n_frames, kmax + 1), np.float32)
+        for f, (s, e) in enumerate(zip(starts, fire_idx)):
+            k = e - s
+            slab_l[f, :k] = cl[s:e]
+            slab_r[f, :k] = cr[s:e]
+            slab_l[f, kmax] = cl[e]
+            slab_r[f, kmax] = cr[e]
+
+        keys = jax.random.split(jax.random.key(seed), n_frames)
+        wb = self.params.wheel_base
+        dtf = jnp.float32(dt)
+
+        def frame(carry, inp):
+            st: WorldState = carry
+            sl_slab, sr_slab, k_idle, key = inp
+
+            def idle_tick(i, small):
+                pose, al, ar = small
+                live = i < k_idle
+                sl = jnp.where(live, sl_slab[i] * dtf, 0.0)
+                sr = jnp.where(live, sr_slab[i] * dtf, 0.0)
+                pose = motion_integrate(pose, sl, sr, wb)
+                return pose, al + sl, ar + sr
+
+            from slamrs_tpu.core import motion as motion_mod
+            motion_integrate = motion_mod.integrate_exact
+            small = jax.lax.fori_loop(
+                0, kmax, idle_tick,
+                (st.pose, st.accum_left, st.accum_right))
+            # force step()'s timer to fire on this tick (the fire pattern
+            # was already resolved on the host; the device timer is only
+            # a mechanism here)
+            st = st._replace(pose=small[0], accum_left=small[1],
+                             accum_right=small[2],
+                             scan_timer=jnp.float32(period))
+            new_st, outs = self.step(
+                st, Command(sl_slab[kmax], sr_slab[kmax]), key,
+                force_fire=True)
+            return new_st, outs
+
+        final, outs = jax.lax.scan(
+            frame, state,
+            (jnp.asarray(slab_l), jnp.asarray(slab_r),
+             jnp.asarray(idle, jnp.int32), keys))
+
+        # trailing idle ticks after the last scan tick
+        tail = n_steps - (int(fire_idx[-1]) + 1)
+        pose, al, ar = final.pose, final.accum_left, final.accum_right
+        for i in range(int(fire_idx[-1]) + 1, n_steps):
+            sl = jnp.float32(cl[i] * dt)
+            sr = jnp.float32(cr[i] * dt)
+            from slamrs_tpu.core import motion as motion_mod
+            pose = motion_mod.integrate_exact(pose, sl, sr, wb)
+            al, ar = al + sl, ar + sr
+        del tail
+        final = final._replace(pose=pose, accum_left=al, accum_right=ar,
+                               scan_timer=jnp.float32(timer))
+        return final, outs
 
 
 def make_fused(scene: Optional[sim_model.Scene] = None,

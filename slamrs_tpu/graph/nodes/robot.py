@@ -16,7 +16,8 @@ import numpy as np
 from slamrs_tpu.core.types import Command, OdometryReading, Scan
 from slamrs_tpu.graph.node import Node, NodeConfig, PoseMsg, ScanOdometry
 from slamrs_tpu.io import neato as neato_io
-from slamrs_tpu.io.connection import WHEEL_BASE, RobotLink, TcpMedium
+from slamrs_tpu.io.connection import (WHEEL_BASE, RobotLink,
+                                      TcpMedium, open_medium)
 
 
 def _frame_to_scan(frame: neato_io.NeatoFrame) -> Scan:
@@ -72,6 +73,10 @@ class RobotConnectionNodeConfig(NodeConfig):
     topic_command: Optional[str] = None
     host: str = "robot"
     port: int = 8080
+    # serial device path (e.g. /dev/ttyUSB0 at 115200 baud); when set it
+    # takes precedence over host/port (the reference's port picker offers
+    # both transports, connection.rs:202-241)
+    serial: Optional[str] = None
     downsampling: int = 2
 
     def instantiate(self, pubsub) -> "RobotConnectionNode":
@@ -91,7 +96,10 @@ class RobotConnectionNode(Node):
         self._link: Optional[RobotLink] = None
 
     def connect(self) -> None:
-        medium = TcpMedium(self.config.host, self.config.port)
+        if self.config.serial:
+            medium = open_medium(self.config.serial)
+        else:
+            medium = TcpMedium(self.config.host, self.config.port)
         self._link = RobotLink(medium, self._on_scan,
                                self.config.downsampling)
 

@@ -176,3 +176,36 @@ class EKFLandmarkSlamNode(Node):
             means=np.asarray(out.landmark_means),
             covariances=np.asarray(out.landmark_covs),
             seen=np.asarray(out.seen)))
+
+    def correlation_matrix(self) -> np.ndarray:
+        """Correlation matrix of the full EKF state covariance
+        (the debug view at landmark/node.rs:62-68): corr = D^-1 Sigma D^-1
+        with D = diag(sqrt(Sigma_ii))."""
+        cov = np.asarray(self.state.cov, np.float64)
+        d = np.sqrt(np.clip(np.diag(cov), 1e-30, None))
+        return cov / np.outer(d, d)
+
+    def draw(self, viz=None) -> None:
+        """Correlation heat-map as filled rects (landmark/node.rs:69-94):
+        green = positive, red = negative, white = zero, with the pose/
+        landmark block separator gaps."""
+        if viz is None:
+            return
+        from slamrs_tpu.viz.shapes import Color, PrimitiveType
+
+        corr = self.correlation_matrix()
+        viz.begin(PrimitiveType.FILLED)
+        x_offset, y_offset, size = 2.0, 0.0, 0.08
+        for i in range(corr.shape[0]):
+            for j in range(corr.shape[1]):
+                c = float(corr[i, j])
+                if c > 0.0:
+                    color = Color(0.0, min(c, 1.0), 0.0)
+                elif c == 0.0:
+                    color = Color.WHITE
+                else:
+                    color = Color(min(-c, 1.0), 0.0, 0.0)
+                x = x_offset + i * size + (size / 3.0 if i > 2 else 0.0)
+                y = y_offset + j * size + (size / 3.0 if j > 2 else 0.0)
+                viz.rect(x, y, size, size, color)
+        viz.end()

@@ -7,8 +7,15 @@ shape_rendering,gaussian}.rs — same YAML vocabulary.  Headless behavior:
 * Controls: the reference reads WASD keys; headless adds an optional
   scripted drive plan (list of [until_t, left, right] rows) and publishes
   on change only (controls.rs:48-163's publish-on-change).
-* Gamepad / MousePosition / ShapeTest / GaussianTest: config-compatible
-  stubs (no gamepad/mouse/GL in the framework core).
+* Gamepad: the stick -> differential-drive conversion with turn damping
+  is the reference's math verbatim (gamepad.rs:79-103), publish-on-change;
+  the gilrs hardware event source is replaced by a ``set_stick(x, y)``
+  input seam (no gamepad hardware in the framework core).
+* ShapeTest / GaussianTest: drive the shape renderer through the ``draw``
+  hook like the reference debug nodes (shape_rendering.rs:23-56,
+  gaussian.rs); GaussianTest also publishes its Gaussian2D.
+* MousePosition: config-accepted no-op (a window reporting the hovered
+  world coordinate has no headless equivalent — mouse_position.rs:1-27).
 """
 
 from __future__ import annotations
@@ -112,25 +119,136 @@ class GamepadNodeConfig(NodeConfig):
     topic_command: str
     max_speed: float = 0.2
 
-    def instantiate(self, pubsub) -> Node:
-        # gamepad hardware is host tooling; accept the config, publish nothing
-        pubsub.publish(self.topic_command, Command)
-        return Node()
+    def instantiate(self, pubsub) -> "GamepadNode":
+        return GamepadNode(self, pubsub)
+
+
+class GamepadNode(Node):
+    """Stick-to-differential teleop (gamepad.rs:41-110).
+
+    The hardware event pump is replaced by :meth:`set_stick`; everything
+    downstream — the polar decomposition, square-to-circle magnitude
+    normalization, turn damping of 3.0, speed scaling and
+    publish-on-change — matches gamepad.rs:79-108.
+    """
+
+    TURN_DAMPING = 3.0  # gamepad.rs:92
+
+    def __init__(self, config: GamepadNodeConfig, pubsub):
+        self.pub = pubsub.publish(config.topic_command, Command)
+        self.target_speed = config.max_speed
+        self.x = 0.0
+        self.y = 0.0
+        self.last: Optional[tuple] = None
+
+    def set_stick(self, x: float, y: float) -> None:
+        """Feed a stick sample (gilrs AxisChanged, gamepad.rs:55-59)."""
+        self.x = float(x)
+        self.y = float(y)
+
+    def update(self) -> None:
+        import math
+
+        r = math.hypot(self.x, self.y)
+        if r > 0.0:
+            angle = math.atan2(self.y, self.x)
+            # square-pad normalization: max attainable r for this angle
+            max_r = r / max(abs(self.x), abs(self.y))
+            magnitude = r / max_r
+            left = magnitude * (math.sin(angle)
+                                + math.cos(angle) / self.TURN_DAMPING)
+            right = magnitude * (math.sin(angle)
+                                 - math.cos(angle) / self.TURN_DAMPING)
+            cmd = (left * self.target_speed, right * self.target_speed)
+        else:
+            cmd = (0.0, 0.0)
+        if cmd != self.last:  # publish-on-change, gamepad.rs:105-108
+            self.pub.publish(Command.make(*cmd))
+            self.last = cmd
 
 
 @dataclasses.dataclass
 class MousePositionNodeConfig(NodeConfig):
     def instantiate(self, pubsub) -> Node:
+        # headless n/a: the reference only shows the hovered world
+        # coordinate in a window (mouse_position.rs:1-27)
         return Node()
 
 
 @dataclasses.dataclass
 class ShapeTestNodeConfig(NodeConfig):
-    def instantiate(self, pubsub) -> Node:
-        return Node()
+    # color-field rect count per axis (255 in shape_rendering.rs:26; the
+    # YAML can shrink it for cheap smoke tests)
+    grid_steps: int = 255
+
+    def instantiate(self, pubsub) -> "ShapeTestNode":
+        return ShapeTestNode(self)
+
+
+class ShapeTestNode(Node):
+    """Renderer smoke test (shape_rendering.rs:23-56): an RGB rect field
+    plus line/filled circles and arrows at the reference's positions."""
+
+    def __init__(self, config: ShapeTestNodeConfig):
+        self.n = config.grid_steps
+
+    def draw(self, viz=None) -> None:
+        if viz is None:
+            return
+        import math
+
+        from slamrs_tpu.viz.shapes import Color, PrimitiveType
+
+        sr = viz
+        n = self.n
+        sr.begin(PrimitiveType.FILLED)
+        for x in range(n):
+            for y in range(n):
+                c = Color(x / 255.0, y / 255.0, 128 / 255.0)
+                sr.rect(x / 255.0, y / 255.0, 1 / 255.0, 1 / 255.0, c)
+        sr.end()
+        sr.begin(PrimitiveType.LINE)
+        sr.circle(0.1, -0.1, 0.05, Color.RED)
+        sr.end()
+        sr.begin(PrimitiveType.FILLED)
+        sr.circle(-0.1, -0.1, 0.05, Color.GREEN)
+        sr.end()
+        sr.begin(PrimitiveType.LINE)
+        sr.arrow(-0.1, 0.1, math.pi + math.pi / 3, 0.1, Color.RED)
+        sr.end()
+        sr.begin(PrimitiveType.FILLED)
+        sr.arrow(0.1, 0.1, math.pi / 6, 0.1, Color.GREEN)
+        sr.end()
 
 
 @dataclasses.dataclass
 class GaussianTestNodeConfig(NodeConfig):
-    def instantiate(self, pubsub) -> Node:
-        return Node()
+    topic: str = "gaussian"
+
+    def instantiate(self, pubsub) -> "GaussianTestNode":
+        return GaussianTestNode(self, pubsub)
+
+
+class GaussianTestNode(Node):
+    """Interactive Gaussian publisher (gaussian.rs): holds a mutable
+    Gaussian2D (the reference's DragValue widgets become direct attribute
+    mutation), publishes it and draws the covariance ellipse."""
+
+    def __init__(self, config: GaussianTestNodeConfig, pubsub):
+        from slamrs_tpu.core.types import Gaussian2D
+
+        self.gaussian = Gaussian2D()
+        self.pub = pubsub.publish(config.topic, Gaussian2D)
+
+    def update(self) -> None:
+        self.pub.publish(self.gaussian)
+
+    def draw(self, viz=None) -> None:
+        if viz is None:
+            return
+        from slamrs_tpu.viz.shapes import Color, PrimitiveType
+
+        viz.begin(PrimitiveType.LINE)
+        viz.gaussian2d(self.gaussian.mean, self.gaussian.covariance,
+                       Color.BLUE)
+        viz.end()

@@ -57,6 +57,85 @@ class TcpMedium(ConnectionMedium):
             pass
 
 
+class SerialMedium(ConnectionMedium):
+    """Serial robot link at 115200 baud (connection.rs:212-227, the
+    ``serial2::SerialPort::open(path, 115200)`` transport).
+
+    Implemented on the stdlib (termios + select) — no pyserial in the
+    image.  Raw mode, 8N1, with the same 200 ms read timeout the TCP
+    medium uses.  Testable against a pty (see tests/test_connection.py).
+    """
+
+    def __init__(self, path: str, baud: int = 115200,
+                 timeout: float = 0.2, _configure: bool = True):
+        import os as _os
+
+        self.fd = _os.open(path, _os.O_RDWR | _os.O_NOCTTY | _os.O_NONBLOCK)
+        self.timeout = timeout
+        if _configure:
+            self._configure(baud)
+
+    def _configure(self, baud: int) -> None:
+        import termios
+
+        rate = getattr(termios, f"B{baud}", None)
+        if rate is None:
+            raise ValueError(f"unsupported baud rate {baud}")
+        attrs = termios.tcgetattr(self.fd)
+        iflag, oflag, cflag, lflag, _, _, cc = attrs
+        # raw 8N1 (cfmakeraw semantics)
+        iflag &= ~(termios.IGNBRK | termios.BRKINT | termios.PARMRK
+                   | termios.ISTRIP | termios.INLCR | termios.IGNCR
+                   | termios.ICRNL | termios.IXON)
+        oflag &= ~termios.OPOST
+        lflag &= ~(termios.ECHO | termios.ECHONL | termios.ICANON
+                   | termios.ISIG | termios.IEXTEN)
+        cflag &= ~(termios.CSIZE | termios.PARENB | termios.CSTOPB)
+        cflag |= termios.CS8 | termios.CREAD | termios.CLOCAL
+        cc[termios.VMIN] = 0
+        cc[termios.VTIME] = 0
+        termios.tcsetattr(self.fd, termios.TCSANOW,
+                          [iflag, oflag, cflag, lflag, rate, rate, cc])
+
+    def read(self, n: int) -> bytes:
+        import os as _os
+        import select
+
+        r, _, _ = select.select([self.fd], [], [], self.timeout)
+        if not r:
+            return b""  # timeout -> not an error (connection.rs:291-293)
+        try:
+            return _os.read(self.fd, n)
+        except BlockingIOError:
+            return b""
+
+    def write(self, data: bytes) -> None:
+        import os as _os
+
+        view = memoryview(data)
+        while view:
+            sent = _os.write(self.fd, view)
+            view = view[sent:]
+
+    def close(self) -> None:
+        import os as _os
+
+        try:
+            _os.close(self.fd)
+        except OSError:
+            pass
+
+
+def open_medium(target: str, timeout: float = 0.2) -> ConnectionMedium:
+    """Resolve a connection target like the reference's port picker
+    (connection.rs:202-241): a filesystem path (``/dev/tty*``) opens a
+    115200-baud serial port; anything else is ``host[:port]`` TCP."""
+    if target.startswith("/") :
+        return SerialMedium(target, timeout=timeout)
+    host, _, port = target.partition(":")
+    return TcpMedium(host, int(port) if port else 8080, timeout=timeout)
+
+
 class RobotLink:
     """Decoded-message pump over a ConnectionMedium.
 

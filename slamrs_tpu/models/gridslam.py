@@ -91,6 +91,11 @@ class GridSlamState(NamedTuple):
     weights: Array  # f32[..., P] normalized
     best_pose: Array  # f32[..., 3] argmax-weight particle pose
     best_idx: Array  # i32[...]
+    # pending resample lineage: particle i's map is grids[ancestors[i]].
+    # The fused VMEM-resident path defers the whole-map ancestor gather
+    # into the next update's kernel (an index indirection there); all
+    # other paths keep it applied, i.e. ancestors == identity.
+    ancestors: Array  # i32[..., P]
 
     @staticmethod
     def init(config: GridSlamConfig, batch_shape=()) -> "GridSlamState":
@@ -109,6 +114,8 @@ class GridSlamState(NamedTuple):
             weights=jnp.full((*batch_shape, p), 1.0 / p, jnp.float32),
             best_pose=jnp.zeros((*batch_shape, 3), jnp.float32),
             best_idx=jnp.zeros(batch_shape, jnp.int32),
+            ancestors=jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32),
+                                       (*batch_shape, p)),
         )
 
 
@@ -139,14 +146,22 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
 
     # 2+3) weights log p(z|x,m) + integrate (slam.rs:62, 67).  The fused
     # path does both in one Pallas VMEM pass; the others are separate ops.
+    deferred = False
     if config.integrate == "fused":
         from slamrs_tpu.ops.fused import fused_update
 
         interpret = jax.default_backend() == "cpu"
+        # VMEM residency pays only while 2x the grids fit on-chip
+        # (~128 MB on v5e); larger fleets stream HBM windows instead.
+        grid_bytes = (state.grids.size
+                      * jnp.dtype(state.grids.dtype).itemsize)
+        resident = 2 * grid_bytes + 8 * 1024 * 1024 <= 120 * 1024 * 1024
+        deferred = resident  # lineage gather rides the kernel indirection
         grids, log_lik = fused_update(
             state.grids, new_poses, scan.angles[..., 0], scan.distances,
             scan.valid, scan.present, spec, scan.angles.shape[-1],
-            config.max_scan_range, resident=True, interpret=interpret)
+            config.max_scan_range, resident=resident, interpret=interpret,
+            ancestors=state.ancestors if deferred else None)
     else:
         log_lik = jax.vmap(
             lambda g, q: grid_log_likelihood(g, spec, q, scan.angles,
@@ -185,12 +200,16 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     ancestors = jnp.where(do_resample, ancestors, identity)
 
     new_poses = jnp.take(new_poses, ancestors, axis=0)
-    grids = jax.lax.cond(
-        do_resample,
-        lambda ga: jnp.take(ga[0], ga[1], axis=0),
-        lambda ga: ga[0],
-        (grids, ancestors))
     weights = jnp.where(do_resample, jnp.full((p,), 1.0 / p), weights)
+    if deferred:
+        pending = ancestors  # grids gathered inside the NEXT kernel call
+    else:
+        grids = jax.lax.cond(
+            do_resample,
+            lambda ga: jnp.take(ga[0], ga[1], axis=0),
+            lambda ga: ga[0],
+            (grids, ancestors))
+        pending = identity
 
     new_state = GridSlamState(
         poses=new_poses,
@@ -198,6 +217,7 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         weights=weights,
         best_pose=best_pose,
         best_idx=best_idx,
+        ancestors=pending,
     )
     return new_state, GridSlamOutputs(pose=best_pose, n_eff=n_eff,
                                       resampled=do_resample)

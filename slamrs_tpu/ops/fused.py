@@ -193,6 +193,32 @@ def _kernel_resident(off_ref, pp_ref, table_ref, grid_in, lik_ref, grid_out,
     grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
 
 
+def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref, grid_in,
+                         lik_ref, grid_out, *, wr, cols, num_beams,
+                         logical_rows, logical_cols):
+    """Deferred-resample variant: particle i continues lineage
+    ``anc_ref[i]`` — the systematic-resample ancestor gather becomes an
+    index indirection here instead of a separate whole-map ``jnp.take``
+    (which costs ~141 us/step at 1,024 x 40 KB maps even behind a cond).
+    Reads ``grid_in[a]``, writes the full updated map to ``grid_out[i]``
+    (separate buffers — racing in-place lineage copies would corrupt)."""
+    i = pl.program_id(0)
+    a = anc_ref[i]
+    r0 = pl.multiple_of(off_ref[i], 8)
+    w32 = grid_in[a, pl.ds(r0, wr), :].astype(jnp.float32)
+    params = (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2], pp_ref[i, 3])
+    out, lik_row = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
+                              num_beams=num_beams, r0=r0,
+                              logical_rows=logical_rows,
+                              logical_cols=logical_cols)
+    if cols > 128:
+        lik_row = sum(lik_row[:, j * 128:(j + 1) * 128]
+                      for j in range(cols // 128))
+    lik_ref[i % 8, :] = lik_row[0]
+    grid_out[i] = grid_in[a]
+    grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
+
+
 def _kernel_hbm(off_ref, pp_ref, table_ref, grid_in, lik_ref, grid_out,
                 win, sem_in, sem_out, *, wr, cols, num_beams,
                 logical_rows, logical_cols):
@@ -225,7 +251,8 @@ def _kernel_hbm(off_ref, pp_ref, table_ref, grid_in, lik_ref, grid_out,
 def fused_update(grids: Array, poses: Array, angles0: Array,
                  distances: Array, valid: Array, present: Array,
                  spec: GridSpec2D, num_beams: int, max_range_m: float,
-                 resident: bool = True, interpret: bool = False):
+                 resident: bool = True, interpret: bool = False,
+                 ancestors: Array | None = None):
     """One RBPF grid update for all particles.
 
     Args:
@@ -235,6 +262,10 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
       poses: [P, 3] world poses (sampled successor poses).
       angles0: scalar first-beam angle (uniform 1-deg table assumed).
       distances/valid/present: [B] shared scan.
+      ancestors: optional i32[P] lineage indices (deferred systematic
+        resample): particle i reads map ``grids[ancestors[i]]``.  Only
+        supported for ``resident=True`` (HBM grids would pay full-grid
+        streaming for the lineage copy; gather those with ``jnp.take``).
     Returns:
       (grids', log_lik [P]) — log p(z | x_p, m_p) per particle, and the
       per-particle map with the scan integrated.
@@ -257,7 +288,12 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
 
     table = encode_beam_table(distances / spec.resolution, valid, present)
 
-    kernel = _kernel_resident if resident else _kernel_hbm
+    deferred = ancestors is not None
+    if deferred:
+        assert resident, "deferred ancestors require VMEM-resident grids"
+        kernel = _kernel_resident_anc
+    else:
+        kernel = _kernel_resident if resident else _kernel_hbm
     kernel = functools.partial(kernel, wr=wr, cols=cols,
                                num_beams=num_beams,
                                logical_rows=spec.rows,
@@ -269,10 +305,13 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         pltpu.SemaphoreType.DMA(()),
     ]
 
+    prefetch = ([ancestors.astype(jnp.int32), r0] if deferred else [r0])
+    n_grid_in = 2 + len(prefetch)  # index of grids among pallas inputs
+
     lik, grids_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(prefetch),
             grid=(p,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # pp [P, 4]
@@ -290,15 +329,20 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             jax.ShapeDtypeStruct((p, 128), jnp.float32),
             jax.ShapeDtypeStruct(grids.shape, grids.dtype),
         ],
-        input_output_aliases={3: 1},
+        input_output_aliases={} if deferred else {n_grid_in: 1},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # full-array VMEM residency for the grids (the whole perf
-            # design): the default 16 MB scoped-vmem cap must be lifted
-            vmem_limit_bytes=120 * 1024 * 1024,
+            # Scoped-vmem accounting counts the aliased grids in AND out
+            # (2x), so the resident kernel needs 2*grids + slack.  Keep
+            # the limit TIGHT: a generous cap measurably degrades
+            # Mosaic's pipelining (287 us at 84 MB vs 392 us at 100 MB
+            # for the 40 MB headline grids, same kernel).
+            vmem_limit_bytes=(
+                2 * grids.size * grids.dtype.itemsize + 4 * 1024 * 1024
+                if resident else 64 * 1024 * 1024),
         ),
         interpret=interpret,
-    )(r0, pp, table, grids)
+    )(*prefetch, pp, table, grids)
 
     return grids_out, jnp.sum(lik, axis=-1)
 

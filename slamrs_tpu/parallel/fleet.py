@@ -68,6 +68,7 @@ def fleet_shardings(state, mesh: Mesh, worlds: int):
             weights=ws("particle"),  # [W, P]
             best_pose=ws(),  # [W, 3]
             best_idx=ws(),  # [W]
+            ancestors=ws("particle"),  # [W, P]
         )
     icp_sh = (jax.tree.map(lambda _: ws(), state.icp)
               if state.icp is not None else None)

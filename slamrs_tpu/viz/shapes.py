@@ -109,6 +109,13 @@ class ShapeRenderer:
         self._emit(x, y, color)
 
     def rect(self, x, y, w, h, color: Color) -> None:
+        """Axis-aligned rect, mode-aware like shaperenderer.rs:60-107:
+        two triangles under FILLED, a 4-segment outline under LINE."""
+        if self._current is PrimitiveType.FILLED:
+            for vx, vy in ((x, y), (x + w, y), (x + w, y + h),
+                           (x, y), (x + w, y + h), (x, y + h)):
+                self._emit(vx, vy, color)
+            return
         for (a, b), (c, d) in (((x, y), (x + w, y)),
                                ((x + w, y), (x + w, y + h)),
                                ((x + w, y + h), (x, y + h)),
@@ -116,20 +123,32 @@ class ShapeRenderer:
             self.line(a, b, c, d, color)
 
     def circle(self, x, y, radius, color: Color, segments: int = 32) -> None:
+        """Mode-aware circle (shaperenderer.rs:109-160): triangle fan
+        under FILLED, a closed polyline under LINE."""
         ang = np.linspace(0, 2 * np.pi, segments + 1)
         xs = x + radius * np.cos(ang)
         ys = y + radius * np.sin(ang)
+        if self._current is PrimitiveType.FILLED:
+            for i in range(segments):
+                self._emit(x, y, color)
+                self._emit(xs[i], ys[i], color)
+                self._emit(xs[i + 1], ys[i + 1], color)
+            return
         for i in range(segments):
             self.line(xs[i], ys[i], xs[i + 1], ys[i + 1], color)
 
     def arrow(self, x, y, angle, radius, color: Color) -> None:
         """Heading arrow (shaperenderer.rs arrow): a triangle pointing
-        along ``angle``."""
+        along ``angle`` — filled under FILLED, outlined under LINE."""
         tip = (x + radius * math.cos(angle), y + radius * math.sin(angle))
         left = (x + 0.5 * radius * math.cos(angle + 2.5),
                 y + 0.5 * radius * math.sin(angle + 2.5))
         right = (x + 0.5 * radius * math.cos(angle - 2.5),
                  y + 0.5 * radius * math.sin(angle - 2.5))
+        if self._current is PrimitiveType.FILLED:
+            for vx, vy in (tip, left, right):
+                self._emit(vx, vy, color)
+            return
         for a, b in ((tip, left), (left, right), (right, tip)):
             self.line(*a, *b, color)
 
