@@ -124,8 +124,10 @@ def bench_icp(batch=2048, beams=360, iterations=10, n1=5, n2=55):
 
 
 def bench_fleet(worlds=256, particles=10, width=4.0, resolution=0.02,
-                update_period=0.2, n1=20, n2=220):
-    """BASELINE config 5: vmapped raycast+SLAM rollouts over 256 worlds."""
+                update_period=0.2, integrate="fused", n1=20, n2=220):
+    """BASELINE config 5: vmapped raycast+SLAM rollouts over 256 worlds
+    (fused kernel batches over worlds x particles; grids stream HBM
+    windows under vmap)."""
     from slamrs_tpu.core.types import Command
     from slamrs_tpu.graph.compile import make_fused
     from slamrs_tpu.models.gridslam import GridSlamConfig
@@ -134,7 +136,7 @@ def bench_fleet(worlds=256, particles=10, width=4.0, resolution=0.02,
     grid_cfg = GridSlamConfig(
         position_x=-width / 2, position_y=-width / 2, width=width,
         height=width, resolution=resolution, n_particles=particles,
-        max_scan_range=1.0, resample_neff_frac=0.5, integrate="dense")
+        max_scan_range=1.0, resample_neff_frac=0.5, integrate=integrate)
     fw = make_fused(params=SimParams.make(update_period=update_period),
                     grid_config=grid_cfg)
     state = fw.init((worlds,))
@@ -193,6 +195,22 @@ def main() -> None:
                  "ticks/s")
         except Exception as e:
             print(f"  config2 bench failed: {e}", file=sys.stderr)
+        try:
+            v = bench_grid_slam(particles=1024, width=50.0, resolution=0.05,
+                                grid_dtype="bfloat16", n1=10, n2=110)
+            note("grid_slam_ticks_per_s_config3_1024p_50m_0.05m_2GB", v,
+                 "ticks/s")
+        except Exception as e:
+            print(f"  config3 bench failed: {e}", file=sys.stderr)
+        try:
+            # the exact reference-parity scatter path (fidelity gates run
+            # on this formulation; see tests/test_parity.py)
+            v = bench_grid_slam(integrate="dda", update_period=0.2,
+                                n1=5, n2=35)
+            note("grid_slam_ticks_per_s_dda_parity_path_1024p_0.05m", v,
+                 "ticks/s")
+        except Exception as e:
+            print(f"  dda bench failed: {e}", file=sys.stderr)
         try:
             v = bench_icp()
             note("icp_iterations_per_s_batch2048", v, "iters/s")

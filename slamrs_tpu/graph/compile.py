@@ -141,8 +141,14 @@ class FusedWorld:
             outs = {}
 
             if self.grid_config is not None:
+                gcfg = self.grid_config
+                if batch and gcfg.integrate == "fused" \
+                        and gcfg.fused_resident is None:
+                    # batched worlds: per-world grids look small at trace
+                    # time, but the stacked array must stream from HBM
+                    gcfg = dataclasses.replace(gcfg, fused_resident=False)
                 upd = lambda st, sc, od, k: gs_model.update(
-                    st, sc, od, k, self.grid_config)
+                    st, sc, od, k, gcfg)
                 if batch:
                     keys = jax.random.split(k_grid, batch[0])
                     grid, gout = jax.vmap(upd)(grid, scan, odometry, keys)

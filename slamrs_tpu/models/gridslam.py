@@ -69,6 +69,10 @@ class GridSlamConfig:
     #          grids get a 128-padded column axis and optionally bf16.
     integrate: str = "dda"
     grid_dtype: str = "float32"  # "bfloat16" keeps big fleets VMEM-resident
+    # fused-path grid placement: None = auto by (unbatched) size; False
+    # forces HBM windows — REQUIRED under vmap (the per-world slice looks
+    # small at trace time but the batched array is worlds x bigger)
+    fused_resident: bool | None = None
 
     @property
     def padded_cols(self) -> int:
@@ -155,7 +159,9 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         # (~128 MB on v5e); larger fleets stream HBM windows instead.
         grid_bytes = (state.grids.size
                       * jnp.dtype(state.grids.dtype).itemsize)
-        resident = 2 * grid_bytes + 8 * 1024 * 1024 <= 120 * 1024 * 1024
+        resident = (config.fused_resident
+                    if config.fused_resident is not None else
+                    2 * grid_bytes + 8 * 1024 * 1024 <= 120 * 1024 * 1024)
         deferred = resident  # lineage gather rides the kernel indirection
         grids, log_lik = fused_update(
             state.grids, new_poses, scan.angles[..., 0], scan.distances,

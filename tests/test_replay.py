@@ -34,7 +34,7 @@ def test_icp_frontend_on_recorded_data():
     from slamrs_tpu.core.types import Scan
     from slamrs_tpu.models import icp_mapper as IM
 
-    frames = load("out2.bin")[:30]
+    frames = load("out2.bin")[:12]
     cfg = IM.IcpMapConfig(capacity=16384, step_threshold=0.1)
     state = IM.IcpMapState.init(cfg)
     poses = []
@@ -47,7 +47,7 @@ def test_icp_frontend_on_recorded_data():
         poses.append(np.asarray(out.pose))
     poses = np.stack(poses)
     assert np.isfinite(poses).all()
-    assert int(state.count) > 1000  # map accumulated real structure
+    assert int(state.count) > 400  # map accumulated real structure
     # quasi-stationary capture: drift stays bounded
     assert np.abs(poses[:, :2]).max() < 0.5, poses[:, :2].max()
 
