@@ -33,10 +33,12 @@ class App:
         # world renderer for nodes' draw hooks (App::custom_painting /
         # WorldObj, app.rs:142-155); opt-in — headless runs skip vertex work
         self.renderer = None
+        self.world_obj = None
         if with_renderer:
-            from slamrs_tpu.viz.shapes import ShapeRenderer
+            from slamrs_tpu.viz.shapes import ShapeRenderer, WorldObj
 
             self.renderer = ShapeRenderer()
+            self.world_obj = WorldObj(self.renderer)
 
     @staticmethod
     def from_file(path: str, **kwargs) -> "App":
@@ -60,7 +62,7 @@ class App:
             self.pubsub.tick()
             if self.renderer is not None:
                 for n in self.nodes:
-                    n.draw(self.renderer)
+                    n.draw(self.world_obj)
         self.time += self.frame_dt
 
     def run(self, frames: Optional[int] = None,

@@ -108,10 +108,26 @@ class RobotConnectionNode(Node):
         odo = OdometryReading.make(odometry[0], odometry[1], WHEEL_BASE)
         self._pending.append(ScanOdometry(_frame_to_scan(frame), odo))
 
+    @property
+    def state(self) -> str:
+        """Connection lifecycle: "idle" | "running" (the reference's
+        ConnectionState, connection.rs:40-47, 135-139)."""
+        return "running" if self._link is not None else "idle"
+
     def update(self) -> None:
         pending, self._pending = self._pending, []
         for msg in pending:
             self.pub_obs.publish(msg)
+        if self._link is not None and not self._link.alive():
+            # stream thread died (decode error / remote close): return to
+            # Idle like the reference's handle.is_finished() check
+            # (connection.rs:135-139)
+            import logging
+
+            logging.getLogger(__name__).error(
+                "robot connection thread ended; returning to idle")
+            self._link.close()
+            self._link = None
         if self._link is not None and self.sub_cmd is not None:
             cmd = self.sub_cmd.latest()
             if cmd is not None:

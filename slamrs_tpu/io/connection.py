@@ -169,6 +169,17 @@ class RobotLink:
                 self._drain()
 
     def _drain(self) -> None:
+        from slamrs_tpu.native import wire_native
+
+        if wire_native is not None:
+            # native data plane: one C++ pass extracts every complete
+            # frame (incl. the 1-byte resync on malformed variants)
+            frames, consumed = wire_native.decode_scan_frames(
+                bytes(self._buf))
+            del self._buf[:consumed]
+            for scan, odo, rpm in frames:
+                self.on_scan(scan, odo, rpm)
+            return
         while True:
             try:
                 msg, consumed = RobotMessage.decode(bytes(self._buf))

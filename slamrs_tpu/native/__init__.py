@@ -14,7 +14,7 @@ from pathlib import Path
 
 _DIR = Path(__file__).resolve().parent
 _LIB = _DIR / "libslamrs_native.so"
-_SOURCES = [_DIR / "neato_parser.cpp"]
+_SOURCES = [_DIR / "neato_parser.cpp", _DIR / "wire_codec.cpp"]
 
 
 def build(force: bool = False) -> Path:
@@ -89,7 +89,58 @@ class _NeatoNative:
         return NeatoFrame(dist, stren, val)
 
 
+class _WireNative:
+    """ctypes facade over the native bincode wire codec (wire_codec.cpp)."""
+
+    def __init__(self):
+        lib = _load()
+        self._lib = lib
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lp = ctypes.POINTER(ctypes.c_long)
+        lib.wire_decode_scan_frames.restype = ctypes.c_long
+        lib.wire_decode_scan_frames.argtypes = [
+            u8p, ctypes.c_long, u8p, f32p, u16p, ctypes.c_long, lp]
+        lib.wire_encode_command.restype = ctypes.c_long
+        lib.wire_encode_command.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, u8p]
+
+    def decode_scan_frames(self, data: bytes, max_frames: int = 64):
+        """Returns ([(scan_bytes, (ol, or), rpm), ...], consumed)."""
+        import numpy as np
+
+        buf = np.frombuffer(data, np.uint8)
+        scans = np.zeros((max_frames, 1980), np.uint8)
+        odo = np.zeros((max_frames, 2), np.float32)
+        rpm = np.zeros(max_frames, np.uint16)
+        consumed = ctypes.c_long(0)
+        n = self._lib.wire_decode_scan_frames(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            scans.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            odo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rpm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            max_frames, ctypes.byref(consumed))
+        out = [(scans[i].tobytes(), (float(odo[i, 0]), float(odo[i, 1])),
+                int(rpm[i])) for i in range(n)]
+        return out, int(consumed.value)
+
+    def encode_command(self, kind: int, every: int = 0, left: float = 0.0,
+                       right: float = 0.0, kp: float = 0.0,
+                       ki: float = 0.0) -> bytes:
+        out = (ctypes.c_uint8 * 16)()
+        n = self._lib.wire_encode_command(kind, every, left, right, kp, ki,
+                                          out)
+        return bytes(out[:n])
+
+
 try:
     neato_native = _NeatoNative()
 except Exception:  # toolchain missing / build failure -> python fallback
     neato_native = None
+
+try:
+    wire_native = _WireNative()
+except Exception:
+    wire_native = None

@@ -168,6 +168,23 @@ class ShapeRenderer:
             self.line(xs[i], ys[i], xs[i + 1], ys[i + 1], color)
 
 
+class WorldObj:
+    """Draw context handed to node draw hooks.
+
+    Parity: ``WorldObj { sr, last_mouse_pos }`` (common/src/world.rs:4-7).
+    Forwards unknown attributes to the shape renderer so draw hooks can
+    use it interchangeably with a bare :class:`ShapeRenderer`.
+    """
+
+    def __init__(self, sr: "ShapeRenderer",
+                 last_mouse_pos=None):
+        self.sr = sr
+        self.last_mouse_pos = last_mouse_pos
+
+    def __getattr__(self, name):
+        return getattr(self.sr, name)
+
+
 class Camera:
     """2D orthographic pan/zoom camera (camera.rs:4-138).
 

@@ -71,3 +71,54 @@ def test_partial_buffer_raises_eof():
 def test_scan_frame_size_validation():
     with pytest.raises(ValueError):
         ScanFrame(bytes(100), (0.0, 0.0), 0)
+
+
+def test_native_wire_codec_matches_python():
+    """The C++ wire codec (native/wire_codec.cpp) must drain a
+    RobotMessage stream byte-identically to the python codec, including
+    Pong interleave, split frames, and garbage resync."""
+    import numpy as np
+    import pytest
+
+    from slamrs_tpu.io.message import (CommandMessage, RobotMessage,
+                                       ScanFrame, SCAN_DATA_BYTES)
+    from slamrs_tpu.native import wire_native
+
+    if wire_native is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+
+    def frame(i):
+        data = rng.integers(0, 256, SCAN_DATA_BYTES, dtype=np.uint8)
+        return RobotMessage.from_scan(
+            ScanFrame(data.tobytes(), (0.25 * i, -0.5 * i), 300 + i))
+
+    stream = (b"\xff\xfe"                       # garbage -> resync
+              + frame(1).encode()
+              + RobotMessage.pong().encode()
+              + frame(2).encode())
+    partial = frame(3).encode()
+    stream += partial[:100]                      # split frame at the tail
+
+    frames, consumed = wire_native.decode_scan_frames(stream)
+    assert len(frames) == 2
+    assert consumed == len(stream) - 100
+    for i, (scan, odo, rpm) in enumerate(frames, start=1):
+        ref, _ = RobotMessage.decode(frame(0).encode(), 0)  # shape only
+        assert len(scan) == SCAN_DATA_BYTES
+        assert rpm == 300 + i
+        assert odo == pytest.approx((0.25 * i, -0.5 * i))
+
+    # encode parity for every CommandMessage variant
+    cases = [
+        (CommandMessage.ping(), (0, 0, 0.0, 0.0, 0.0, 0.0)),
+        (CommandMessage.neato_on(), (1, 0, 0.0, 0.0, 0.0, 0.0)),
+        (CommandMessage.neato_off(), (2, 0, 0.0, 0.0, 0.0, 0.0)),
+        (CommandMessage.set_downsampling(7), (3, 7, 0.0, 0.0, 0.0, 0.0)),
+        (CommandMessage.drive(0.1, -0.2), (4, 0, 0.1, -0.2, 0.0, 0.0)),
+        (CommandMessage.set_motor_pi_params(0.5, 2.0),
+         (5, 0, 0.0, 0.0, 0.5, 2.0)),
+    ]
+    for msg, args in cases:
+        assert wire_native.encode_command(*args) == msg.encode()
