@@ -53,8 +53,16 @@ def cmd_rollout(args):
     fw = compile_world(load_config(args.config))
     shape = (args.worlds,) if args.worlds > 1 else ()
     state = fw.init(shape)
+    if args.resume:
+        from slamrs_tpu.utils.checkpoint import load as load_state
+        state = load_state(args.resume, state)
+        print(f"resumed from {args.resume}", file=sys.stderr)
     state, outs = jax.jit(lambda s: fw.rollout(s, args.steps,
                                                seed=args.seed))(state)
+    if args.save_state:
+        from slamrs_tpu.utils.checkpoint import save as save_state
+        save_state(args.save_state, state)
+        print(f"saved state to {args.save_state}", file=sys.stderr)
     fired = np.asarray(outs.fired)
     report = {
         "steps": args.steps,
@@ -108,6 +116,9 @@ def main(argv=None):
     ro.add_argument("--steps", type=int, default=900)
     ro.add_argument("--worlds", type=int, default=1)
     ro.add_argument("--seed", type=int, default=0)
+    ro.add_argument("--save-state", dest="save_state",
+                    help="checkpoint final state to .npz")
+    ro.add_argument("--resume", help="resume from a .npz checkpoint")
     ro.set_defaults(fn=cmd_rollout)
 
     rp = sub.add_parser("replay", help="parse a recorded Neato .bin log")

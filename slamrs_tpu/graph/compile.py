@@ -229,15 +229,21 @@ class FusedWorld:
     # ---- rollout ----------------------------------------------------------
 
     def commands_for(self, n_steps: int) -> Command:
-        """Materialize the Controls drive plan as per-tick command arrays."""
+        """Materialize the Controls drive plan as per-tick command arrays.
+
+        Each row is ``[until_t, left, right]``: the command active while
+        sim time <= until_t.  Rows are sorted here so an out-of-order
+        YAML script selects the earliest matching row, not the first
+        listed one."""
         import numpy as np
 
         left = np.zeros(n_steps, np.float32)
         right = np.zeros(n_steps, np.float32)
         t = (np.arange(n_steps) + 1) * self.dt
+        script = sorted(self.control_script, key=lambda row: float(row[0]))
         cur_l = cur_r = 0.0
         for i in range(n_steps):
-            for until, l, r in self.control_script:
+            for until, l, r in script:
                 if t[i] <= until:
                     cur_l, cur_r = float(l), float(r)
                     break

@@ -137,3 +137,48 @@ def test_gridslam_neff_gate_skips_resampling():
     # weights stay non-uniform
     w = np.asarray(state.weights)
     assert w.std() > 0.0
+
+
+def test_checkpoint_roundtrip_and_resume():
+    """SURVEY §5.4: checkpoint/resume (absent in the reference; framework
+    capability here) — rollout state round-trips through .npz and a
+    resumed rollout continues bit-exactly."""
+    import jax
+    import numpy as np
+
+    from slamrs_tpu.graph.compile import make_fused
+    from slamrs_tpu.models.gridslam import GridSlamConfig
+    from slamrs_tpu.models.simulator import SimParams
+    from slamrs_tpu.utils import checkpoint as ckpt
+
+    cfg = GridSlamConfig(resolution=0.1, n_particles=4, max_scan_range=1.0,
+                         integrate="dense")
+    fw = make_fused(params=SimParams.make(update_period=0.2),
+                    grid_config=cfg, num_beams=60)
+    s0 = fw.init()
+    mid, _ = fw.rollout(s0, 10, seed=1)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "state.npz")
+        ckpt.save(path, mid)
+        restored = ckpt.load(path, fw.init())
+        same = jax.tree.map(
+            lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+            mid, restored)
+        assert all(jax.tree.leaves(same))
+
+        # continuing from the restored state == continuing from mid
+        f1, _ = fw.rollout(mid, 5, seed=2)
+        f2, _ = fw.rollout(restored, 5, seed=2)
+        np.testing.assert_array_equal(np.asarray(f1.pose),
+                                      np.asarray(f2.pose))
+        np.testing.assert_array_equal(np.asarray(f1.grid.grids),
+                                      np.asarray(f2.grid.grids))
+
+        # config mismatch is rejected
+        import pytest
+        other = make_fused(params=SimParams.make(update_period=0.2),
+                           grid_config=None, num_beams=60)
+        with pytest.raises(ValueError):
+            ckpt.load(path, other.init())
