@@ -95,7 +95,9 @@ def _gather_beam(table_ref, bins, rows, cols):
                               (rows, 128))
         parts = []
         for j in range(cols // 128):
-            sub = jnp.clip(bins[:, j * 128:(j + 1) * 128] - c * 128, 0, 127)
+            # lanes outside this chunk are masked by the range select
+            # below, so a cheap &127 replaces clip for index safety
+            sub = (bins[:, j * 128:(j + 1) * 128] - c * 128) & 127
             parts.append(jnp.take_along_axis(tb, sub, axis=1))
         v = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         out = jnp.where((bins >= c * 128) & (bins < (c + 1) * 128), v, out)
@@ -103,8 +105,9 @@ def _gather_beam(table_ref, bins, rows, cols):
 
 
 def _atan2(y, x):
-    """atan2 via octant reduction + minimax poly (~2e-4 rad; bins are
-    1.75e-2 rad wide)."""
+    """atan2 via octant reduction + minimax poly (~2e-7 rad rel; bins
+    are 1.75e-2 rad wide — bin assignments match exact arctan2 except
+    ~1-per-million boundary cells)."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
@@ -201,7 +204,11 @@ def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref, grid_in,
     index indirection here instead of a separate whole-map ``jnp.take``
     (which costs ~141 us/step at 1,024 x 40 KB maps even behind a cond).
     Reads ``grid_in[a]``, writes the full updated map to ``grid_out[i]``
-    (separate buffers — racing in-place lineage copies would corrupt)."""
+    (separate buffers — racing in-place lineage copies would corrupt).
+    The lineage copy is one whole-map vector copy; both an async-DMA copy
+    and split partial-band copies measured SLOWER (440 / 411 vs 395
+    us/step at the headline config — per-program DMA issue+wait doesn't
+    overlap across grid steps, and split stores defeat vectorization)."""
     i = pl.program_id(0)
     a = anc_ref[i]
     r0 = pl.multiple_of(off_ref[i], 8)
@@ -299,11 +306,14 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
                                logical_rows=spec.rows,
                                logical_cols=spec.cols)
     space = pltpu.VMEM if resident else pltpu.ANY
-    scratch = [] if resident else [
-        pltpu.VMEM((wr, cols), grids.dtype),
-        pltpu.SemaphoreType.DMA(()),
-        pltpu.SemaphoreType.DMA(()),
-    ]
+    if deferred or resident:
+        scratch = []
+    else:
+        scratch = [
+            pltpu.VMEM((wr, cols), grids.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
 
     prefetch = ([ancestors.astype(jnp.int32), r0] if deferred else [r0])
     n_grid_in = 2 + len(prefetch)  # index of grids among pallas inputs
