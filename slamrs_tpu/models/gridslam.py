@@ -155,14 +155,17 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         from slamrs_tpu.ops.fused import fused_update
 
         interpret = jax.default_backend() == "cpu"
-        # VMEM residency pays only while 2x the grids fit on-chip
-        # (~128 MB on v5e); larger fleets stream HBM windows instead.
+        # VMEM residency needs room for grids in AND out (Mosaic's scoped
+        # accounting counts both even under input_output_aliases); larger
+        # sets stream HBM windows.  VMEM is ~128 MB on this v5e.
         grid_bytes = (state.grids.size
                       * jnp.dtype(state.grids.dtype).itemsize)
-        resident = (config.fused_resident
-                    if config.fused_resident is not None else
-                    2 * grid_bytes + 8 * 1024 * 1024 <= 120 * 1024 * 1024)
-        deferred = resident  # lineage gather rides the kernel indirection
+        budget = 120 * 1024 * 1024
+        if config.fused_resident is not None:
+            resident = config.fused_resident
+        else:
+            resident = 2 * grid_bytes + 8 * 2**20 <= budget
+        deferred = resident
         grids, log_lik = fused_update(
             state.grids, new_poses, scan.angles[..., 0], scan.distances,
             scan.valid, scan.present, spec, scan.angles.shape[-1],

@@ -123,7 +123,7 @@ def _atan2(y, x):
 
 
 def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
-               logical_rows, logical_cols):
+               logical_rows, logical_cols, c0=None):
     """Shared per-cell math: returns (updated window f32, lik row [1, cols]).
 
     w32: window [wr, cols] f32 log-odds (pre-update).
@@ -142,6 +142,8 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
         jnp.float32) + r0.astype(jnp.float32)
     wx = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 1).astype(
         jnp.float32)
+    if c0 is not None:
+        wx = wx + c0.astype(jnp.float32)
     dx = wx + 0.5 - cx
     dy = wy + 0.5 - cy
     r2 = dx * dx + dy * dy
@@ -226,28 +228,33 @@ def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref, grid_in,
     grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
 
 
-def _kernel_hbm(off_ref, pp_ref, table_ref, grid_in, lik_ref, grid_out,
-                win, sem_in, sem_out, *, wr, cols, num_beams,
+def _kernel_hbm(off_ref, coff_ref, pp_ref, table_ref, grid_in, lik_ref,
+                grid_out, win, sem_in, sem_out, *, wr, wc, num_beams,
                 logical_rows, logical_cols):
+    """HBM-grid variant: the per-particle window is BOTH row- and
+    column-cropped ([wr, wc] with a 128-aligned column offset), so huge
+    maps (config 3: 1000x1024 cells) move only the scan-disc
+    neighborhood through HBM instead of full-width row bands."""
     i = pl.program_id(0)
     r0 = pl.multiple_of(off_ref[i], 8)
+    c0 = pl.multiple_of(coff_ref[i], 128)
     cp_in = pltpu.make_async_copy(
-        grid_in.at[i, pl.ds(r0, wr), :], win, sem_in)
+        grid_in.at[i, pl.ds(r0, wr), pl.ds(c0, wc)], win, sem_in)
     cp_in.start()
     cp_in.wait()
     w32 = win[...].astype(jnp.float32)
     params = (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2], pp_ref[i, 3])
-    out, lik_row = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
+    out, lik_row = _cell_pass(w32, params, table_ref, wr=wr, cols=wc,
                               num_beams=num_beams, r0=r0,
                               logical_rows=logical_rows,
-                              logical_cols=logical_cols)
-    if cols > 128:
+                              logical_cols=logical_cols, c0=c0)
+    if wc > 128:
         lik_row = sum(lik_row[:, j * 128:(j + 1) * 128]
-                      for j in range(cols // 128))
+                      for j in range(wc // 128))
     lik_ref[i % 8, :] = lik_row[0]
     win[...] = out.astype(win.dtype)
     cp_out = pltpu.make_async_copy(
-        win, grid_out.at[i, pl.ds(r0, wr), :], sem_out)
+        win, grid_out.at[i, pl.ds(r0, wr), pl.ds(c0, wc)], sem_out)
     cp_out.start()
     cp_out.wait()
 
@@ -281,6 +288,10 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     assert cols % 128 == 0, "grid column axis must be padded to 128"
     wr = window_rows(spec, max_range_m)
     wr = min(wr, rows - rows % 8 if rows % 8 else rows)
+    # HBM windows are column-cropped too: 2 aligned 128-col blocks cover
+    # any disc up to 128 cells wide (clamped at grid edges)
+    disc_half = wr // 2
+    wc = cols if (resident or cols <= 256 or disc_half > 64) else 256
 
     pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
     cxy = (poses[:, 0:2] - pos) / spec.resolution
@@ -293,29 +304,46 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     r0 = jnp.clip(r0, 0, max(rows - wr, 0))
     r0 = (r0 // 8) * 8
 
+    # window column offset (128-block aligned): start one block left of
+    # the robot's block when the robot sits in its left half, so the
+    # disc margin is >= 64 cells on both sides
+    ccol = jnp.round(cxy[:, 0]).astype(jnp.int32)
+    blk = ccol // 128
+    c0 = (blk - jnp.where(ccol % 128 < 64, 1, 0)) * 128
+    c0 = jnp.clip(c0, 0, max(cols - wc, 0))
+
     table = encode_beam_table(distances / spec.resolution, valid, present)
 
     deferred = ancestors is not None
     if deferred:
         assert resident, "deferred ancestors require VMEM-resident grids"
-        kernel = _kernel_resident_anc
+        kernel = functools.partial(
+            _kernel_resident_anc, wr=wr, cols=cols, num_beams=num_beams,
+            logical_rows=spec.rows, logical_cols=spec.cols)
+    elif resident:
+        kernel = functools.partial(
+            _kernel_resident, wr=wr, cols=cols, num_beams=num_beams,
+            logical_rows=spec.rows, logical_cols=spec.cols)
     else:
-        kernel = _kernel_resident if resident else _kernel_hbm
-    kernel = functools.partial(kernel, wr=wr, cols=cols,
-                               num_beams=num_beams,
-                               logical_rows=spec.rows,
-                               logical_cols=spec.cols)
+        kernel = functools.partial(
+            _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
+            logical_rows=spec.rows, logical_cols=spec.cols)
     space = pltpu.VMEM if resident else pltpu.ANY
     if deferred or resident:
         scratch = []
     else:
         scratch = [
-            pltpu.VMEM((wr, cols), grids.dtype),
+            pltpu.VMEM((wr, wc), grids.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
 
-    prefetch = ([ancestors.astype(jnp.int32), r0] if deferred else [r0])
+    if deferred:
+        prefetch = [ancestors.astype(jnp.int32), r0]
+    elif resident:
+        prefetch = [r0]
+    else:
+        prefetch = [r0, c0]
     n_grid_in = 2 + len(prefetch)  # index of grids among pallas inputs
 
     lik, grids_out = pl.pallas_call(
