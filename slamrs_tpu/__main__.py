@@ -79,6 +79,54 @@ def cmd_rollout(args):
     print(json.dumps(report))
 
 
+def cmd_robot(args):
+    """Serve a virtual robot (firmware-behavior model) over TCP so any
+    host config with a !RobotConnection node can drive it like hardware."""
+    import socket
+
+    from slamrs_tpu.io.virtual_robot import VirtualRobot, VirtualRobotServer
+    from slamrs_tpu.models import simulator as sim_model
+
+    scene = sim_model.Scene.build(
+        rects=[(-2.0, -2.0, 4.0, 4.0), (-0.1, -0.4, 0.5, 0.1)],
+        lines=[(-0.6, -0.4, 0.2, 0.4)])
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((args.host, args.port))
+    srv.listen(1)
+    print(f"virtual robot listening on {args.host}:{args.port}",
+          file=sys.stderr)
+    try:
+        while True:
+            conn, addr = srv.accept()
+            print(f"host connected: {addr}", file=sys.stderr)
+            from slamrs_tpu.io.connection import ConnectionMedium
+
+            class _M(ConnectionMedium):
+                def __init__(self, sock):
+                    self.sock = sock
+                    sock.settimeout(0.05)
+
+                def read(self, n):
+                    try:
+                        return self.sock.recv(n)
+                    except socket.timeout:
+                        return b""
+
+                def write(self, data):
+                    self.sock.sendall(data)
+
+                def close(self):
+                    self.sock.close()
+
+            server = VirtualRobotServer(
+                VirtualRobot(scene=scene, scanner_range=5.0), _M(conn),
+                realtime=True)
+            server._thread.join()
+    except KeyboardInterrupt:
+        pass
+
+
 def cmd_replay(args):
     import numpy as np
 
@@ -120,6 +168,11 @@ def main(argv=None):
                     help="checkpoint final state to .npz")
     ro.add_argument("--resume", help="resume from a .npz checkpoint")
     ro.set_defaults(fn=cmd_rollout)
+
+    vr = sub.add_parser("robot", help="serve a virtual robot over TCP")
+    vr.add_argument("--host", default="0.0.0.0")
+    vr.add_argument("--port", type=int, default=8080)
+    vr.set_defaults(fn=cmd_robot)
 
     rp = sub.add_parser("replay", help="parse a recorded Neato .bin log")
     rp.add_argument("file")

@@ -118,7 +118,7 @@ class RobotConnectionNode(Node):
         pending, self._pending = self._pending, []
         for msg in pending:
             self.pub_obs.publish(msg)
-        if self._link is not None and not self._link.alive():
+        if self._link is not None and not self._link.alive:
             # stream thread died (decode error / remote close): return to
             # Idle like the reference's handle.is_finished() check
             # (connection.rs:135-139)

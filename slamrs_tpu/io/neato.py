@@ -103,6 +103,48 @@ def parse_frame(buf: bytes | np.ndarray) -> NeatoFrame:
     )
 
 
+def encode_frame(distance_mm: np.ndarray, strength: np.ndarray,
+                 valid: np.ndarray, rpm: float = 300.0) -> bytes:
+    """Inverse of :func:`parse_frame`: build a 1980-byte revolution from
+    per-beam arrays (the firmware-side wire format, frame.rs:74-134 read
+    backwards).  Used by the virtual robot and for parser round-trip
+    tests.
+
+    distance_mm u16[360], strength u16[360], valid bool[360]; ``rpm`` is
+    stored as the XV11 raw speed field (rpm * 64) in every packet.
+    """
+    distance_mm = np.asarray(distance_mm, np.uint16).reshape(
+        PACKETS_PER_REV, 4)
+    strength = np.asarray(strength, np.uint16).reshape(PACKETS_PER_REV, 4)
+    valid = np.asarray(valid, bool).reshape(PACKETS_PER_REV, 4)
+
+    pkts = np.zeros((PACKETS_PER_REV, PACKET_BYTES), np.uint8)
+    pkts[:, 0] = START_BYTE
+    pkts[:, 1] = INDEX_BASE + np.arange(PACKETS_PER_REV)
+    speed_raw = int(round(rpm * 64.0)) & 0xFFFF
+    pkts[:, 2] = speed_raw & 0xFF
+    pkts[:, 3] = speed_raw >> 8
+    base = 4 + 4 * np.arange(4)
+    d = distance_mm & 0x3FFF
+    pkts[:, base] = (d & 0xFF).astype(np.uint8)
+    hi = ((d >> 8) & 0x3F).astype(np.uint8)
+    hi = hi | np.where(valid, 0, 0x80).astype(np.uint8)  # invalid flag
+    pkts[:, base + 1] = hi
+    pkts[:, base + 2] = (strength & 0xFF).astype(np.uint8)
+    pkts[:, base + 3] = (strength >> 8).astype(np.uint8)
+
+    # checksum over the first 20 bytes (frame.rs:85-106)
+    p = pkts.astype(np.uint32)
+    words = p[:, 0:20:2] | (p[:, 1:20:2] << 8)
+    chk32 = np.zeros(PACKETS_PER_REV, np.uint32)
+    for i in range(10):
+        chk32 = (chk32 << 1) + words[:, i]
+    checksum = ((chk32 & 0x7FFF) + (chk32 >> 15)) & 0x7FFF
+    pkts[:, 20] = (checksum & 0xFF).astype(np.uint8)
+    pkts[:, 21] = (checksum >> 8).astype(np.uint8)
+    return pkts.tobytes()
+
+
 def parse_packets(data: bytes) -> list[NeatoFrame]:
     """Stream re-sync parser (frame.rs:136-201).
 
