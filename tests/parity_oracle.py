@@ -291,3 +291,101 @@ def icp_point_to_normal(points, reference_points, initial_pose,
         x += dx
         x[2] = math.atan2(math.sin(x[2]), math.cos(x[2]))
     return x
+
+
+# ---------------------------------------------------------- EKF SLAM ----
+
+class EKFLandmarkSlam:
+    """slamrs/slam/src/landmark/ekf.rs:17-244 VERBATIM in float32 (the
+    reference is f32 throughout) — including its unnormalized measurement
+    Jacobian (ekf.rs:149-160 omits the textbook 1/q factor; compare
+    against the implementation's ``reference_jacobian=True`` mode)."""
+
+    def __init__(self, num_landmarks=10, initial_landmark_variance=1000.0):
+        n = num_landmarks
+        self.n = n
+        self.mean = np.zeros(3 + 2 * n, np.float32)
+        self.cov = np.eye(3 + 2 * n, dtype=np.float32) * np.float32(
+            initial_landmark_variance)
+        self.cov[:3, :3] = 0.0  # zero pose block (ekf.rs:22-31)
+        self.seen = [False] * n
+
+    def update(self, landmarks, dl, dr, wheel_base):
+        """landmarks: list of (distance, angle, association|None)."""
+        f = np.float32
+        dl, dr, wheel_base = f(dl), f(dr), f(wheel_base)
+        d = 3 + 2 * self.n
+        omega_dt = f((dr - dl) / wheel_base)
+        v_dt = f((dl + dr) / f(2.0))
+        theta = self.mean[2]
+        if omega_dt != 0.0:
+            vo = f(v_dt / omega_dt)
+            g_xyt = np.array([
+                -vo * np.sin(theta) + vo * np.sin(theta + omega_dt),
+                vo * np.cos(theta) - vo * np.cos(theta + omega_dt),
+                omega_dt], np.float32)
+            gx = np.eye(3, dtype=np.float32)
+            gx[0, 2] = -vo * np.cos(theta) + vo * np.cos(theta + omega_dt)
+            gx[1, 2] = -vo * np.sin(theta) + vo * np.sin(theta + omega_dt)
+        else:
+            g_xyt = np.array([v_dt * np.cos(theta),
+                              v_dt * np.sin(theta), 0.0], np.float32)
+            gx = np.eye(3, dtype=np.float32)
+            gx[0, 2] = -v_dt * np.sin(theta)
+            gx[1, 2] = v_dt * np.cos(theta)
+
+        mu = self.mean.copy()
+        mu[0] += g_xyt[0]
+        mu[1] += g_xyt[1]
+        mu[2] = _wrap(mu[2] + g_xyt[2])
+
+        g = np.eye(d, dtype=np.float32)
+        g[:3, :3] = gx
+        sigma = np.array([0.02, 0.02, math.radians(5.0)], np.float32)
+        cov = (g @ self.cov @ g.T).astype(np.float32)
+        cov[:3, :3] += np.diag(sigma * sigma)
+
+        for dist, ang, assoc in landmarks:
+            if assoc is None:
+                continue
+            dist, ang = f(dist), f(ang)
+            j = int(assoc)
+            if not self.seen[j]:
+                self.seen[j] = True
+                mu[3 + 2 * j] = mu[0] + dist * np.cos(mu[2] + ang)
+                mu[3 + 2 * j + 1] = mu[1] + dist * np.sin(mu[2] + ang)
+            dx = mu[3 + 2 * j] - mu[0]
+            dy = mu[3 + 2 * j + 1] - mu[1]
+            q = f(dx * dx + dy * dy)
+            sq = np.sqrt(q, dtype=f)
+            z_bar = np.array([sq, np.arctan2(dy, dx) - mu[2]], np.float32)
+            z = np.array([dist, ang], np.float32)
+            h_low = np.array([[-sq * dx, -sq * dy, 0.0, sq * dx, sq * dy],
+                              [dy, -dx, -q, -dy, dx]], np.float32)
+            fxj = np.zeros((5, d), np.float32)
+            fxj[0, 0] = fxj[1, 1] = fxj[2, 2] = 1.0
+            fxj[3, 3 + 2 * j] = 1.0
+            fxj[4, 3 + 2 * j + 1] = 1.0
+            h = h_low @ fxj
+            so = np.array([0.03, math.radians(3.0)], np.float32)
+            qm = np.diag(so * so)
+            k = (cov @ h.T @ np.linalg.inv(
+                (h @ cov @ h.T + qm).astype(np.float32))).astype(np.float32)
+            diff = (z - z_bar).astype(np.float32)
+            diff[1] = _wrap(diff[1])
+            mu = (mu + k @ diff).astype(np.float32)
+            mu[2] = _wrap(mu[2])
+            cov = ((np.eye(d, dtype=np.float32) - k @ h)
+                   @ cov).astype(np.float32)
+
+        self.mean = mu
+        self.cov = cov
+
+
+def _wrap(a):
+    """na::wrap(angle, -pi, pi)."""
+    while a >= math.pi:
+        a -= 2 * math.pi
+    while a < -math.pi:
+        a += 2 * math.pi
+    return a

@@ -63,8 +63,10 @@ def test_graft_entry_single_chip():
     sys.path.insert(0, str(CONFIG_DIR.parent))
     import __graft_entry__ as ge
     fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
+    # trace + lower only: catches shape/dtype/jit errors fast; the round
+    # driver compile-checks entry() on the real chip (full CPU-interpret
+    # compilation of the 1024-particle flagship costs ~25 s of the suite)
+    jax.jit(fn).lower(*args)
 
 
 def test_dryrun_multichip_8():

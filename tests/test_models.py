@@ -129,7 +129,7 @@ def test_gridslam_neff_gate_skips_resampling():
                             resample_neff_frac=0.0)  # never resample
     state = GS.GridSlamState.init(cfg)
     scene = make_scene()
-    scan = S.lidar_scan(jnp.zeros(3), scene, jnp.float32(1.0))
+    scan = S.lidar_scan(jnp.zeros(3), scene, jnp.float32(1.0), 90)
     from slamrs_tpu.core.types import OdometryReading
     state, out = GS.update(state, scan, OdometryReading.make(0.01, 0.012),
                            jax.random.key(0), cfg)

@@ -199,3 +199,54 @@ def test_icp_parity_neato():
     ref = oracle.icp_point_to_normal(p, q, np.zeros(3), 10, None)
     np.testing.assert_allclose(np.asarray(ours.transformation, np.float64), ref,
                                atol=1e-3)
+
+
+def test_ekf_parity_verbatim():
+    """EKF landmark SLAM vs a verbatim numpy port of ekf.rs (incl. the
+    reference's unnormalized Jacobian quirk): deterministic filter, so the
+    gate is direct — pose and landmark means <= 1e-3 over a trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamrs_tpu.core.types import LandmarkScan
+    from slamrs_tpu.models import ekf as ekf_model
+
+    cfg = ekf_model.EkfConfig(num_landmarks=4, reference_jacobian=True)
+    state = gs if False else ekf_model.EkfState.init(cfg)
+    orc = oracle.EKFLandmarkSlam(num_landmarks=4)
+
+    true_lm = np.array([[1.0, 0.5], [-0.8, 1.2], [0.3, -1.0], [-1.1, -0.7]])
+    pose = np.zeros(3)
+    rng = np.random.default_rng(2)
+    for t in range(12):
+        dl, dr = 0.02, 0.026
+        # ground-truth motion for generating observations
+        th = pose[2] + (dr - dl) / 0.1
+        s = (dl + dr) / 2
+        pose = np.array([pose[0] + np.cos(th) * s,
+                         pose[1] + np.sin(th) * s, th])
+        obs = []
+        for j, lm in enumerate(true_lm):
+            d = np.hypot(*(lm - pose[:2])) + rng.normal(0, 0.01)
+            a = np.arctan2(lm[1] - pose[1], lm[0] - pose[0]) - pose[2]
+            obs.append((float(d), float(a), j))
+
+        scan = LandmarkScan(
+            angles=jnp.asarray([a for _, a, _ in obs], jnp.float32),
+            distances=jnp.asarray([d for d, _, _ in obs], jnp.float32),
+            association=jnp.asarray([j for _, _, j in obs], jnp.int32),
+            valid=jnp.ones(4, bool))
+        from slamrs_tpu.core.types import OdometryReading
+        odo = OdometryReading(jnp.float32(dl), jnp.float32(dr),
+                              jnp.float32(0.1))
+        state, out = ekf_model.update(state, scan, odo, cfg)
+        orc.update(obs, dl, dr, 0.1)
+
+        np.testing.assert_allclose(
+            np.asarray(state.mean, np.float64)[:3], orc.mean[:3],
+            atol=1e-3, err_msg=f"pose diverges at step {t}")
+
+    np.testing.assert_allclose(np.asarray(state.mean, np.float64),
+                               orc.mean, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(state.cov, np.float64),
+                               orc.cov, atol=5e-3)

@@ -24,7 +24,7 @@ from slamrs_tpu.models import simulator as sim_model
 from slamrs_tpu.core import motion
 
 
-def _rollout(integrate: str, T=8, p=6):
+def _rollout(integrate: str, T=6, p=6):
     cfg = gs.GridSlamConfig(position_x=-2.0, position_y=-2.0, width=4.0,
                             height=4.0, resolution=0.05, n_particles=p,
                             max_scan_range=1.0, integrate=integrate,
