@@ -127,3 +127,27 @@ def test_fleet_rollout_from_grid_slam_preset_sharded():
     assert np.isfinite(np.asarray(outs.n_eff)).all()
     # the world axis is actually sharded across devices
     assert len(final.pose.sharding.device_set) == 8
+
+
+def test_fused_preset_selects_kernel_path():
+    """configs/grid_slam_fused.yaml: the YAML config surface reaches the
+    fused-kernel options (integrate/resample_neff_frac/grid_dtype) and
+    compiles to a runnable rollout."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    fw = compile_world(load_config(CONFIG_DIR / "grid_slam_fused.yaml"))
+    cfg = fw.grid_config
+    assert cfg.integrate == "fused"
+    assert cfg.n_particles == 1024
+    assert cfg.resample_neff_frac == 0.5
+    assert cfg.grid_dtype == "bfloat16"
+    # small-shape variant actually runs (CPU interpret)
+    import dataclasses
+    small = dataclasses.replace(cfg, n_particles=4, resolution=0.1)
+    fw = make_fused(params=fw.params, grid_config=small, num_beams=90,
+                    scene=fw.scene)
+    state = fw.init()
+    assert state.grid.grids.dtype == jnp.bfloat16
+    final, outs = fw.rollout_cadence(state, 14, seed=0)
+    assert np.isfinite(np.asarray(outs.n_eff)).all()
