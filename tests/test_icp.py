@@ -97,3 +97,21 @@ def test_chi_decreases():
                                 jnp.int32(30), jnp.zeros(3), iterations=8)
     chi = np.asarray(r.chi_values)
     assert chi[-1] < chi[0] * 0.01
+
+
+def test_pallas_nn_matches_xla():
+    """The opt-in Pallas NN kernel returns identical correspondences
+    (interpret mode; compiled path exercised by bench experiments)."""
+    import jax
+    import numpy as np
+
+    from slamrs_tpu.ops.icp import (nearest_neighbors,
+                                    nearest_neighbors_fused)
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(16, 360, 2)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(16, 360, 2)).astype(np.float32))
+    qc = jnp.asarray([360] * 14 + [128, 10], jnp.int32)
+    ref = jax.vmap(nearest_neighbors)(p, q, qc)
+    got = nearest_neighbors_fused(p, q, qc, interpret=True)
+    assert bool(jnp.all(ref == got))
