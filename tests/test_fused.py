@@ -7,7 +7,7 @@ exercised compiled on real TPU by bench.py / __graft_entry__).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 
 from slamrs_tpu.core.types import OdometryReading, Scan
 from slamrs_tpu.models import gridslam as gs
