@@ -76,7 +76,8 @@ def bench_grid_slam(particles=1024, width=4.0, resolution=0.05,
         @jax.jit
         def run(state, key):
             if update_period > 0:
-                c, outs = fw.rollout_cadence(state, n, seed=0, commands=cmds)
+                c, outs = fw.rollout_cadence(state, n, seed=0, commands=cmds,
+                                             initial_timer=0.0)
             else:
                 c, outs = fw.rollout(state, n, seed=0, commands=cmds)
             return (jnp.sum(outs.n_eff) + jnp.float32(c.grid.grids[0, 0, 0])

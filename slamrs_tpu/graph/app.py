@@ -61,6 +61,11 @@ class App:
                 n.update()
             self.pubsub.tick()
             if self.renderer is not None:
+                # immediate-mode semantics (app.rs redraws every frame):
+                # discard the previous frame's geometry so draw calls
+                # never accumulate across frames; consumers flush() after
+                # the last frame to rasterize it
+                self.renderer.flush()
                 for n in self.nodes:
                     n.draw(self.world_obj)
         self.time += self.frame_dt

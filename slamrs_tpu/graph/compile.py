@@ -266,7 +266,8 @@ class FusedWorld:
                             (commands.speed_left, commands.speed_right, keys))
 
     def rollout_cadence(self, state: WorldState, n_steps: int, seed: int = 0,
-                        commands: Optional[Command] = None
+                        commands: Optional[Command] = None,
+                        initial_timer: Optional[float] = None
                         ) -> tuple[WorldState, WorldOutputs]:
         """Cadence-structured rollout: identical semantics to
         :meth:`rollout`, restructured for throughput.
@@ -285,24 +286,30 @@ class FusedWorld:
 
         if commands is None:
             commands = self.commands_for(n_steps)
-        dt = float(self.dt)
+        dt = np.float32(self.dt)
         # concrete host values for the unroll (params are stored as jnp
         # scalars; they are concrete here — only `state` may be traced)
-        period = float(self.params.update_period)
+        period = np.float32(self.params.update_period)
 
-        # host-side unroll of the accumulator timer (sim.rs:109-112);
-        # under jit the state timer is traced — the unroll then assumes a
-        # fresh timer (0.0), which holds for rollout-from-init
-        try:
-            timer = float(state.scan_timer)
-        except Exception:
-            timer = 0.0
+        # host-side unroll of the accumulator timer (sim.rs:109-112) in
+        # FLOAT32, bit-matching step()'s on-device f32 accumulation so
+        # both resolve boundary ticks identically
+        if initial_timer is not None:
+            timer = np.float32(initial_timer)
+        else:
+            try:
+                timer = np.float32(state.scan_timer)
+            except Exception as e:
+                raise ValueError(
+                    "rollout_cadence under jit needs the concrete start "
+                    "timer: pass initial_timer= (0.0 for a fresh state)"
+                ) from e
         fired = np.zeros(n_steps, bool)
         for i in range(n_steps):
-            timer += dt
+            timer = np.float32(timer + dt)
             if timer > period:
                 fired[i] = True
-                timer -= period
+                timer = np.float32(timer - period)
         fire_idx = np.flatnonzero(fired)
         if fire_idx.size == 0:
             return self.rollout(state, n_steps, seed, commands)

@@ -107,7 +107,10 @@ class ControlsNode(Node):
             self.pub.publish(Command.make(left, right))
 
     def update(self) -> None:
-        for row in self.config.script:
+        # earliest matching row wins (rows sorted by until_t — the same
+        # selection rule FusedWorld.commands_for applies, so the node
+        # graph and the compiled rollout agree on out-of-order scripts)
+        for row in sorted(self.config.script, key=lambda r: float(r[0])):
             until, left, right = row
             if self.time <= until:
                 self._publish(float(left), float(right))

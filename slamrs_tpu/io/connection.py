@@ -111,10 +111,17 @@ class SerialMedium(ConnectionMedium):
 
     def write(self, data: bytes) -> None:
         import os as _os
+        import select
 
         view = memoryview(data)
         while view:
-            sent = _os.write(self.fd, view)
+            try:
+                sent = _os.write(self.fd, view)
+            except BlockingIOError:
+                # O_NONBLOCK fd with a full tty buffer (flow-control
+                # stall): wait for writability instead of dying
+                select.select([], [self.fd], [], 1.0)
+                continue
             view = view[sent:]
 
     def close(self) -> None:

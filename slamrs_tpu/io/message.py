@@ -45,16 +45,23 @@ def encode_varint(value: int) -> bytes:
 
 
 def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    if pos >= len(buf):
+        raise EOFError("short buffer")
     b = buf[pos]
     if b < 251:
         return b, pos + 1
+    need = {251: 3, 252: 5, 253: 9}.get(b)
+    if need is None:
+        raise ValueError(f"unsupported varint marker {b}")
+    if pos + need > len(buf):
+        # a partial multi-byte varint at a stream read boundary must read
+        # as "need more bytes", not kill the drain thread (struct.error)
+        raise EOFError("short buffer")
     if b == 251:
         return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
     if b == 252:
         return struct.unpack_from("<I", buf, pos + 1)[0], pos + 5
-    if b == 253:
-        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
-    raise ValueError(f"unsupported varint marker {b}")
+    return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
 
 
 # ---- messages -------------------------------------------------------------
@@ -115,12 +122,18 @@ class CommandMessage:
         kind = CommandMessage._VARIANTS[disc]
         msg = CommandMessage(kind)
         if kind == "set_downsampling":
+            if pos >= len(buf):
+                raise EOFError("short buffer")
             msg.every = buf[pos]
             pos += 1
         elif kind == "drive":
+            if pos + 8 > len(buf):
+                raise EOFError("short buffer")
             msg.left, msg.right = struct.unpack_from("<ff", buf, pos)
             pos += 8
         elif kind == "set_motor_pi_params":
+            if pos + 8 > len(buf):
+                raise EOFError("short buffer")
             msg.kp, msg.ki = struct.unpack_from("<ff", buf, pos)
             pos += 8
         return msg, pos
@@ -171,7 +184,7 @@ class RobotMessage:
         if disc != 0:
             raise ValueError(f"unknown RobotMessage variant {disc}")
         if len(buf) - pos < SCAN_DATA_BYTES + 8 + 1:
-            raise EOFError("short buffer")
+            raise EOFError("short buffer")  # rpm varint checked in decode
         scan = bytes(buf[pos:pos + SCAN_DATA_BYTES])
         pos += SCAN_DATA_BYTES
         odo = struct.unpack_from("<ff", buf, pos)

@@ -35,8 +35,10 @@ Design (TPU-first, measured on a v5e):
     rounding differs from ``floor`` semantics of map.rs:120-123 by
     <= 1 cell for a few beams per scan.
 
-Assumes the scan is a uniform angular table (1-degree spacing in every
-reference configuration; asserted by the wrapper).
+Assumes the scan is a uniform angular table starting at ``angles0``
+(true for both producers: the simulator and the Neato frames — 1-degree
+spacing; non-uniform tables are NOT detected).  ``num_beams`` must fit
+the gather chunks (<= 384; statically asserted).
 
 Beam-table encoding: one f32 lane per beam,
 ``d_enc = +d_cells`` (valid hit), ``-d_cells`` (present, invalid) and
@@ -285,6 +287,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     """
     p, rows, cols = grids.shape
     assert cols % 128 == 0, "grid column axis must be padded to 128"
+    assert num_beams <= 384, "beam table gather covers bins [0, 384) only"
     wr = window_rows(spec, max_range_m)
     wr = min(wr, rows - rows % 8 if rows % 8 else rows)
     # HBM windows are column-cropped too: 2 aligned 128-col blocks cover

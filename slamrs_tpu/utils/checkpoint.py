@@ -25,9 +25,21 @@ _SEP = "|"
 
 
 def save(path: str, state: Any) -> None:
-    """Serialize a pytree of arrays to ``path`` (.npz)."""
+    """Serialize a pytree of arrays to ``path`` (.npz).
+
+    bfloat16 leaves are stored widened to float32 (exact; npz has no
+    bf16 dtype) — ``load`` casts back to the template's dtype, which is
+    a lossless round trip."""
+    import jax.numpy as jnp
+
     leaves, treedef = jax.tree.flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+
+    def to_np(leaf):
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16:
+            leaf = leaf.astype(jnp.float32)
+        return np.asarray(leaf)
+
+    arrays = {f"leaf_{i}": to_np(leaf) for i, leaf in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         str(treedef).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)

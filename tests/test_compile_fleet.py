@@ -151,3 +151,23 @@ def test_fused_preset_selects_kernel_path():
     assert state.grid.grids.dtype == jnp.bfloat16
     final, outs = fw.rollout_cadence(state, 14, seed=0)
     assert np.isfinite(np.asarray(outs.n_eff)).all()
+
+
+def test_rollout_cadence_matches_rollout():
+    """rollout_cadence must be tick-exact with rollout (f32 host timer
+    unroll vs the device accumulator), including trailing idle ticks."""
+    import numpy as np
+
+    from slamrs_tpu.models.gridslam import GridSlamConfig as GSC
+
+    fw = make_fused(grid_config=GSC(resolution=0.1, n_particles=4,
+                                    integrate="fused"),
+                    num_beams=90)
+    s0 = fw.init()
+    a, oa = fw.rollout(s0, 40, seed=0)
+    b, ob = fw.rollout_cadence(s0, 40, seed=0)
+    np.testing.assert_allclose(np.asarray(a.pose), np.asarray(b.pose),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.accum_left),
+                               np.asarray(b.accum_left), atol=1e-7)
+    assert int(np.asarray(oa.fired).sum()) == ob.fired.shape[0]

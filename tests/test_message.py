@@ -122,3 +122,27 @@ def test_native_wire_codec_matches_python():
     ]
     for msg, args in cases:
         assert wire_native.encode_command(*args) == msg.encode()
+
+
+def test_decode_truncated_streams_wait_for_more():
+    """Review regression: every truncation point must read as 'need more
+    bytes' (EOFError), never struct.error — a split TCP read previously
+    killed the drain thread when rpm >= 251 (3-byte varint) or a Drive
+    payload straddled the boundary."""
+    import numpy as np
+    import pytest
+
+    from slamrs_tpu.io.message import (CommandMessage, RobotMessage,
+                                       ScanFrame, SCAN_DATA_BYTES)
+
+    frame = RobotMessage.from_scan(ScanFrame(
+        bytes(SCAN_DATA_BYTES), (0.1, 0.2), 300)).encode()
+    assert len(frame) > SCAN_DATA_BYTES + 8 + 1  # rpm took a 3-byte varint
+    for cut in (1, SCAN_DATA_BYTES, len(frame) - 2, len(frame) - 1):
+        with pytest.raises((EOFError, IndexError)):
+            RobotMessage.decode(frame[:cut])
+
+    drive = CommandMessage.drive(0.1, -0.2).encode()
+    for cut in range(1, len(drive)):
+        with pytest.raises((EOFError, IndexError)):
+            CommandMessage.decode(drive[:cut])

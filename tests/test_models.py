@@ -182,3 +182,26 @@ def test_checkpoint_roundtrip_and_resume():
                            grid_config=None, num_beams=60)
         with pytest.raises(ValueError):
             ckpt.load(path, other.init())
+
+
+def test_checkpoint_roundtrip_bfloat16():
+    """Review regression: npz cannot store bf16 — save widens to f32
+    (exact), load casts back; the flagship fused/bf16 state must
+    round-trip."""
+    import tempfile, os
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slamrs_tpu.utils import checkpoint as ckpt
+
+    cfg = GS.GridSlamConfig(resolution=0.1, n_particles=4,
+                            integrate="fused", grid_dtype="bfloat16")
+    state = GS.GridSlamState.init(cfg)
+    state = state._replace(grids=state.grids + jnp.bfloat16(0.5))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "s.npz")
+        ckpt.save(path, state)
+        restored = ckpt.load(path, GS.GridSlamState.init(cfg))
+    assert restored.grids.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(restored.grids, np.float32),
+                                  np.asarray(state.grids, np.float32))

@@ -177,3 +177,55 @@ nodes:
     app.frame()
     calls = app.renderer.flush()
     assert calls, "draw hook did not reach the renderer"
+
+
+def test_app_renderer_does_not_accumulate_frames():
+    """Review regression: draw hooks re-emit per frame; the renderer must
+    hold only the LAST frame's geometry after a run."""
+    from slamrs_tpu.graph.app import App
+
+    app = App.from_yaml("""
+settings: {}
+nodes:
+  - !ShapeTest
+    grid_steps: 3
+""", with_renderer=True)
+    app.frame()
+    one = sum(len(c.vertices) for c in app.renderer._calls)
+    for _ in range(4):
+        app.frame()
+    final = sum(len(c.vertices) for c in app.renderer._calls)
+    assert final == one, (final, one)
+
+
+def test_gridmap_node_publishes_unpadded_fused_grid():
+    """Review regression: the fused path's 128-padded columns must be
+    sliced off before publishing (visualizers derive extent from shape)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slamrs_tpu.core.types import Scan, OdometryReading
+    from slamrs_tpu.graph.node import GridMapMessage, ScanOdometry
+    from slamrs_tpu.graph.nodes.slam import GridMapSlamNodeConfig
+    from slamrs_tpu.graph.pubsub import PubSub
+
+    ps = PubSub()
+    node = GridMapSlamNodeConfig(
+        topic_pose="pose", topic_observation_odometry="obs",
+        topic_map="map",
+        config={"position": [-2.0, -2.0], "width": 4.0, "height": 4.0,
+                "resolution": 0.1, "n_particles": 2,
+                "integrate": "fused"}).instantiate(ps)
+    sub = ps.subscribe("map", GridMapMessage)
+    B = 90
+    angles = jnp.arange(B, dtype=jnp.float32) * (2 * np.pi / B)
+    scan = Scan(angles, jnp.full((B,), 0.8, jnp.float32),
+                jnp.ones((B,)), jnp.ones((B,), bool), jnp.ones((B,), bool))
+    ps.publish("obs", ScanOdometry).publish(ScanOdometry(
+        scan, OdometryReading.make(0.01, 0.012)))
+    ps.tick()
+    node.update()
+    ps.tick()
+    msg = sub.try_recv()
+    assert msg is not None
+    assert msg.data.shape == (40, 40), msg.data.shape  # not (40, 128)
