@@ -81,7 +81,11 @@ def cmd_rollout(args):
 
 def cmd_robot(args):
     """Serve a virtual robot (firmware-behavior model) over TCP so any
-    host config with a !RobotConnection node can drive it like hardware."""
+    host config with a !RobotConnection node can drive it like hardware.
+
+    Note: the first lidar revolution jit-compiles the scene raycast
+    (tens of seconds on a cold remote-TPU cache); frames stream at the
+    firmware cadence once warm."""
     import socket
 
     from slamrs_tpu.io.virtual_robot import VirtualRobot, VirtualRobotServer
@@ -114,7 +118,14 @@ def cmd_robot(args):
                         return b""
 
                 def write(self, data):
-                    self.sock.sendall(data)
+                    # frames must not be cut mid-message when the host
+                    # reader lags: allow a longer send window than the
+                    # 50 ms recv poll
+                    self.sock.settimeout(5.0)
+                    try:
+                        self.sock.sendall(data)
+                    finally:
+                        self.sock.settimeout(0.05)
 
                 def close(self):
                     self.sock.close()
@@ -122,7 +133,11 @@ def cmd_robot(args):
             server = VirtualRobotServer(
                 VirtualRobot(scene=scene, scanner_range=5.0), _M(conn),
                 realtime=True)
-            server._thread.join()
+            try:
+                server._thread.join()
+            finally:
+                server.close()
+            print("host disconnected", file=sys.stderr)
     except KeyboardInterrupt:
         pass
 

@@ -331,7 +331,10 @@ class FusedWorld:
             slab_l[f, kmax] = cl[e]
             slab_r[f, kmax] = cr[e]
 
-        keys = jax.random.split(jax.random.key(seed), n_frames)
+        # key discipline matches rollout(): one key per TICK, of which
+        # only the scan ticks consume theirs — so a fixed seed produces
+        # identical SLAM randomness through either entry point
+        keys = jax.random.split(jax.random.key(seed), n_steps)[fire_idx]
         wb = self.params.wheel_base
         dtf = jnp.float32(dt)
 

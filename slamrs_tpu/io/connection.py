@@ -179,14 +179,17 @@ class RobotLink:
         from slamrs_tpu.native import wire_native
 
         if wire_native is not None:
-            # native data plane: one C++ pass extracts every complete
-            # frame (incl. the 1-byte resync on malformed variants)
-            frames, consumed = wire_native.decode_scan_frames(
-                bytes(self._buf))
-            del self._buf[:consumed]
-            for scan, odo, rpm in frames:
-                self.on_scan(scan, odo, rpm)
-            return
+            # native data plane: C++ passes extract every complete frame
+            # (incl. the 1-byte resync on malformed variants); loop in
+            # case more than one max_frames batch accumulated
+            while True:
+                frames, consumed = wire_native.decode_scan_frames(
+                    bytes(self._buf))
+                del self._buf[:consumed]
+                for scan, odo, rpm in frames:
+                    self.on_scan(scan, odo, rpm)
+                if not frames:
+                    return
         while True:
             try:
                 msg, consumed = RobotMessage.decode(bytes(self._buf))

@@ -119,6 +119,9 @@ class CommandMessage:
     @staticmethod
     def decode(buf: bytes, pos: int = 0) -> tuple["CommandMessage", int]:
         disc, pos = decode_varint(buf, pos)
+        if disc >= len(CommandMessage._VARIANTS):
+            # malformed discriminant -> resync-able error, not IndexError
+            raise ValueError(f"unknown CommandMessage variant {disc}")
         kind = CommandMessage._VARIANTS[disc]
         msg = CommandMessage(kind)
         if kind == "set_downsampling":

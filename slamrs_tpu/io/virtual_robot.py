@@ -295,6 +295,7 @@ class VirtualRobotServer:
         import time as _time
 
         while not self._stop.is_set():
+            t0 = _time.monotonic()
             data = self.medium.read(4096)
             if data:
                 self._buf.extend(data)
@@ -308,7 +309,11 @@ class VirtualRobotServer:
                     break
             self.robot.outbox.clear()
             if self.realtime:
-                _time.sleep(self.dt)
+                # the read timeout already consumed wall time; pace the
+                # REMAINDER so virtual time tracks the wall clock 1:1
+                sleep = self.dt - (_time.monotonic() - t0)
+                if sleep > 0:
+                    _time.sleep(sleep)
 
     def _dispatch(self) -> None:
         while True:

@@ -190,7 +190,12 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     log_motion = motion.log_prob(state.poses, new_poses,
                                  odometry.distance_left,
                                  odometry.distance_right, odometry.wheel_base)
-    log_w = log_lik + log_motion
+    # accumulate onto the carried weights: after a resample they are
+    # uniform (a constant shift the normalization removes — exactly the
+    # reference's always-resample behavior, slam.rs:74), but when the
+    # N_eff gate SKIPS resampling the previous weights must persist or
+    # the filter forgets particle degeneracy (standard SIS weighting)
+    log_w = jnp.log(state.weights) + log_lik + log_motion
 
     # 4) normalize, argmax (particle.rs:37-56)
     weights = _resample.normalize_log_weights(log_w)
@@ -240,8 +245,12 @@ def estimated_probability_grid(state: GridSlamState,
     particle's log-odds grid converted cell-wise to probability.  For the
     fused path, pass ``config`` to slice off the 128-padded column tail.
     """
-    grid = state.grids[..., state.best_idx, :, :] if state.grids.ndim > 3 \
-        else state.grids[state.best_idx]
+    if state.grids.ndim > 3:  # [..., P, H, W] batched worlds
+        idx = state.best_idx[..., None, None, None]
+        grid = jnp.take_along_axis(
+            state.grids, idx, axis=-3).squeeze(-3)
+    else:
+        grid = state.grids[state.best_idx]
     if config is not None:
         grid = grid[..., :config.grid_spec.rows, :config.grid_spec.cols]
     grid = grid.astype(jnp.float32)

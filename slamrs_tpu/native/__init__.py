@@ -30,8 +30,9 @@ def build(force: bool = False) -> Path:
 
 
 def _load():
-    if not _LIB.exists():
-        build()
+    # build() is idempotent and mtime-aware — always route through it so
+    # an outdated .so (older than any .cpp) never loads silently
+    build()
     return ctypes.CDLL(str(_LIB))
 
 
