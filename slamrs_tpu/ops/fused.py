@@ -179,6 +179,9 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     lik_cell = jnp.where(is_end, dens * jnp.log(factor), 0.0)
     lik_row = jnp.sum(lik_cell, axis=0, keepdims=True)  # [1, cols]
 
+    # no log-odds clamp: unbounded growth matches the reference and
+    # measurably aids long-run localization (see ops.grid LOGODDS_CLAMP
+    # note for the reverted experiment)
     return w32 + inc, lik_row
 
 

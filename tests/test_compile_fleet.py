@@ -171,3 +171,12 @@ def test_rollout_cadence_matches_rollout():
     np.testing.assert_allclose(np.asarray(a.accum_left),
                                np.asarray(b.accum_left), atol=1e-7)
     assert int(np.asarray(oa.fired).sum()) == ob.fired.shape[0]
+    # RNG parity: cadence consumes the fired tick's key exactly like
+    # rollout, so the SLAM state (motion draws, resampling) is identical
+    np.testing.assert_allclose(np.asarray(a.grid.poses),
+                               np.asarray(b.grid.poses), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.grid.ancestors),
+                                  np.asarray(b.grid.ancestors))
+    np.testing.assert_allclose(
+        np.asarray(a.grid.grids, np.float32),
+        np.asarray(b.grid.grids, np.float32), atol=1e-3)
