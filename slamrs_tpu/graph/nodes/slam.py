@@ -76,7 +76,11 @@ class GridMapSlamNode(Node):
         msg = self.sub.try_recv()  # one observation per frame (node.rs:47)
         if msg is None:
             return
-        with self.stats.timeit():
+        from slamrs_tpu.utils.trace import span
+
+        # the reference's only instrumented span is GridMapSlam::update
+        # (#[tracing::instrument], slam.rs:45) — mirror it
+        with span("GridMapSlam::update"), self.stats.timeit():
             self.key, sub = jax.random.split(self.key)
             self.state, out = self._update(self.state, msg.scan,
                                            msg.odometry, sub)
