@@ -166,11 +166,14 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         else:
             resident = 2 * grid_bytes + 8 * 2**20 <= budget
         deferred = resident
+        nb = scan.angles.shape[-1]
+        dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb > 1
+                else jnp.float32(2.0 * jnp.pi))
         grids, log_lik = fused_update(
             state.grids, new_poses, scan.angles[..., 0], scan.distances,
-            scan.valid, scan.present, spec, scan.angles.shape[-1],
+            scan.valid, scan.present, spec, nb,
             config.max_scan_range, resident=resident, interpret=interpret,
-            ancestors=state.ancestors if deferred else None)
+            ancestors=state.ancestors if deferred else None, dphi=dphi)
     else:
         log_lik = jax.vmap(
             lambda g, q: grid_log_likelihood(g, spec, q, scan.angles,

@@ -18,27 +18,37 @@ Design (TPU-first, measured on a v5e):
   robot covering the scan disc (max range + DDA overshoot).  Everything
   else in the grid is untouched (``input_output_aliases`` keeps the
   update in place).
-* Likelihood and integration share one pass: per cell, the polar
-  coordinates (r, phi) relative to the particle pose pick the covering
-  beam (phi -> angular bin -> a 3-chunk ``take_along_axis`` lane-gather
+* Integration is a dense cell pass: per cell, the polar coordinates
+  (r, phi) relative to the particle pose pick the covering beam
+  (phi -> angular bin -> a 3-chunk ``take_along_axis`` lane-gather
   of the 360-entry beam table — TPU lane gathers are native at 128-entry
-  granularity), and
-  - the inverse sensor model yields the log-odds increment
-    (multiplicity-compensated near the robot, exactly like
-    ``ops.grid.grid_integrate_dense``),
-  - ring cells ``|r - d| < 0.5`` accumulate the measurement-likelihood
-    mixture ``log(Z_HIT * p + (1-Z_HIT)/maxdist)`` weighted by the local
-    beam density ``max(1, 1/(r*dphi))`` — the cell-domain formulation of
-    the reference's per-beam endpoint gather (each beam contributes one
-    endpoint; the density weight redistributes endpoints within the
-    sub-cell ring band).  Documented deviation: sub-cell endpoint
-    rounding differs from ``floor`` semantics of map.rs:120-123 by
-    <= 1 cell for a few beams per scan.
+  granularity) and the inverse sensor model yields the log-odds
+  increment (multiplicity-compensated near the robot, exactly like
+  ``ops.grid.grid_integrate_dense``).
+* The measurement likelihood is the reference's EXACT per-beam endpoint
+  product (map.rs:113-145), computed entirely LANE-MAJOR (beams on the
+  512-lane axis — a beam-per-sublane [512,1] layout runs at 1/128 lane
+  utilization and measured 6x the cost of the whole cell pass): beam
+  endpoints come from the per-beam cos/sin rows of the beam table and
+  two host-side cos/sin of theta; the endpoint cell's log-odds is
+  fetched with chunked 128-lane ``take_along_axis`` column gathers (the
+  same native Mosaic op the ISM bin lookup uses) followed by a one-hot
+  sublane reduction for the row select — recovering the stored value
+  bit-exactly, so the untouched-cell check ``odds == 0`` keeps reference
+  semantics.  The ``Z_HIT * p + (1-Z_HIT)/maxdist`` mixture then runs on
+  512 lanes instead of the whole window.  Only documented deviation: a
+  valid beam whose endpoint lies outside the kernel window (i.e. beyond
+  ``max_range_m`` — never produced by the simulator, possible in
+  replayed real captures) contributes nothing instead of its true cell
+  mixture.
 
 Assumes the scan is a uniform angular table starting at ``angles0``
-(true for both producers: the simulator and the Neato frames — 1-degree
-spacing; non-uniform tables are NOT detected).  ``num_beams`` must fit
-the gather chunks (<= 384; statically asserted).
+with spacing ``dphi`` (true for both producers: the simulator and the
+Neato frames emit 1-degree tables; non-uniform tables are NOT detected).
+``dphi`` is honored exactly — a partial-sector table (e.g. 90 beams x 1
+degree) masks cells outside the swept sector instead of wrapping them
+onto wrong beams.  ``num_beams`` must fit the gather chunks (<= 383;
+statically asserted).
 
 Beam-table encoding: one f32 lane per beam,
 ``d_enc = +d_cells`` (valid hit), ``-d_cells`` (present, invalid) and
@@ -75,8 +85,19 @@ def window_rows(spec: GridSpec2D, max_range_m: float) -> int:
 
 
 def encode_beam_table(distances_cells: Array, valid: Array,
-                      present: Array) -> Array:
-    """[B] beam lanes -> [8, _BEAM_PAD] f32 encoded table."""
+                      present: Array, angles0: Array | None = None,
+                      dphi: Array | None = None) -> Array:
+    """[B] beam lanes -> [8, _BEAM_PAD] f32 encoded table.
+
+    Row 0: ``d_enc`` (signed/zero encoding, module docstring) for the
+    inverse-sensor-model bin gather.  When ``angles0``/``dphi`` are
+    given, rows 1-4 additionally carry the exact-endpoint likelihood
+    lanes (map.rs:117-123 — only valid beams participate):
+      row 1: distance in cells for valid beams, 0 otherwise;
+      row 2: cos(angles0 + b * dphi);
+      row 3: sin(angles0 + b * dphi);
+      row 4: use flag (valid & present).
+    """
     b = distances_cells.shape[-1]
     d = jnp.abs(distances_cells)
     enc = jnp.where(valid, d, -d)
@@ -84,7 +105,19 @@ def encode_beam_table(distances_cells: Array, valid: Array,
     enc = jnp.where(valid & present & (d == 0.0), jnp.float32(1e-6), enc)
     pad = jnp.full((_BEAM_PAD - b,), -0.0, jnp.float32)
     row = jnp.concatenate([enc.astype(jnp.float32), pad])
-    return jnp.broadcast_to(row[None, :], (8, _BEAM_PAD))
+    if angles0 is None:
+        return jnp.broadcast_to(row[None, :], (8, _BEAM_PAD))
+    lane = jnp.arange(_BEAM_PAD, dtype=jnp.float32)
+    ang = angles0 + lane * dphi
+    use = jnp.zeros((_BEAM_PAD,), bool).at[:b].set(valid & present)
+    d_lik = jnp.where(
+        use, jnp.zeros((_BEAM_PAD,), jnp.float32).at[:b].set(
+            d.astype(jnp.float32)), 0.0)
+    ca = jnp.where(use, jnp.cos(ang), 0.0)
+    sa = jnp.where(use, jnp.sin(ang), 0.0)
+    zero = jnp.zeros((_BEAM_PAD,), jnp.float32)
+    return jnp.stack([row, d_lik, ca, sa, use.astype(jnp.float32),
+                      zero, zero, zero])
 
 
 def _gather_beam(table_ref, bins, rows, cols):
@@ -123,21 +156,91 @@ def _atan2(y, x):
     return jnp.where(y < 0, -a, a)
 
 
+def _endpoint_lik(w32, params, table_ref, *, wr, cols, num_beams, r0,
+                  logical_rows, logical_cols, c0=None):
+    """Exact per-beam endpoint likelihood (map.rs:113-145) -> f32 scalar.
+
+    Lane-major: beams live on the 512-lane axis throughout.  Per 128-beam
+    chunk, the endpoint column is fetched from every window row with one
+    native 128-lane ``take_along_axis`` gather (per 128-column block) and
+    the endpoint row is selected by a one-hot sublane reduction — exact
+    (a single 1.0 mask row), so the untouched-cell check ``odds == 0``
+    keeps reference semantics.  Beams whose endpoint falls outside the
+    grid are skipped, matching the reference's ``is_valid`` bounds check.
+    """
+    cx, cy, _theta, _a0, ct, st, _dphi, _inv_dphi = params
+    lik_acc = jnp.zeros((1, 128), jnp.float32)
+    n_chunks = -(-num_beams // 128)  # trailing chunks are all padding
+
+    # chunk-local math: each 128-beam chunk loads its table rows straight
+    # from the ref (offset-0 layout) — slicing a live [1,512] vector
+    # value leaves a lane-offset layout Mosaic cannot broadcast across
+    # sublanes ("invalid input layout"), loads are fine.  Index math
+    # stays f32 until after the broadcast (i32 sublane broadcasts hit
+    # the same limitation); floor values are small ints, exact in f32.
+    for bc in range(n_chunks):
+        sl = slice(bc * 128, (bc + 1) * 128)
+        d = table_ref[1:2, sl]   # [1, 128] distance (cells), 0 if unused
+        ca = table_ref[2:3, sl]  # cos(angles0 + b*dphi)
+        sa = table_ref[3:4, sl]
+        use = table_ref[4:5, sl] > 0.5
+
+        # endpoint in grid coords: rotation expanded so cos/sin of theta
+        # are two host-side transcendentals per particle
+        ex = cx + (ct * ca - st * sa) * d
+        ey = cy + (st * ca + ct * sa) * d
+        in_b = ((ex >= 0.0) & (ey >= 0.0) & (ex < float(logical_cols))
+                & (ey < float(logical_rows)))
+        use = use & in_b
+
+        xi = jnp.floor(ex)
+        yi = jnp.floor(ey) - r0.astype(jnp.float32)
+        if c0 is not None:
+            xi = xi - c0.astype(jnp.float32)
+        # window coverage: the scan disc fits the window by construction
+        # (window_rows) — beams beyond max_range_m fall outside and are
+        # dropped (documented deviation, module docstring)
+        use = use & (yi >= 0.0) & (yi < wr) & (xi >= 0.0) & (xi < cols)
+        xi = jnp.where(use, xi, 0.0)
+        yi = jnp.where(use, yi, 0.0)
+
+        xi_b = jnp.broadcast_to(xi, (wr, 128))
+        yi_b = jnp.broadcast_to(yi, (wr, 128))
+        # column gather: [wr, 128] values w32[i, xi_b] for every row i
+        g = jnp.zeros((wr, 128), jnp.float32)
+        for k in range(cols // 128):
+            sub = jnp.clip(xi_b - k * 128, 0.0, 127.0).astype(jnp.int32)
+            part = jnp.take_along_axis(w32[:, k * 128:(k + 1) * 128],
+                                       sub, axis=1)
+            g = jnp.where((xi_b >= k * 128) & (xi_b < (k + 1) * 128),
+                          part, g)
+        # row select: one-hot sublane mask, reduce over rows
+        hot = (jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 0).astype(
+            jnp.float32) == yi_b)
+        odds = jnp.sum(jnp.where(hot, g, 0.0), axis=0,
+                       keepdims=True)  # [1, 128]
+
+        p = 1.0 - 1.0 / (1.0 + jnp.exp(odds))
+        mix = Z_HIT * p + (1.0 - Z_HIT) / SENSOR_MAXDIST
+        factor = jnp.where(odds == 0.0, 1.0 / SENSOR_MAXDIST, mix)
+        lik_acc = lik_acc + jnp.where(use, jnp.log(factor), 0.0)
+    return jnp.sum(lik_acc)
+
+
 def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
                logical_rows, logical_cols, c0=None):
-    """Shared per-cell math: returns (updated window f32, lik row [1, cols]).
+    """Dense inverse-sensor-model integration: returns updated window f32.
 
     w32: window [wr, cols] f32 log-odds (pre-update).
-    params: (cx, cy, theta, a0) f32 scalars; cx/cy in grid units.
+    params: (cx, cy, theta, a0, cos_theta, sin_theta) f32 scalars; cx/cy
+    in grid units.
     r0: dynamic row offset of the window within the grid.
-    logical_rows/cols: cells beyond these are padding — no update, no
-    likelihood (parity with the reference's grid-bounds checks,
-    map.rs:93-97 and map.rs:124-127).
+    logical_rows/cols: cells beyond these are padding — never updated
+    (parity with the reference's grid-bounds checks, map.rs:93-97).
     """
-    cx, cy, theta, a0 = params
-    dphi = 2.0 * pymath.pi / num_beams
-    inv_dphi = 1.0 / dphi
+    cx, cy, theta, a0, _ct, _st, dphi, inv_dphi = params
     half = TOLERANCE_CELLS / 2.0
+    two_pi = 2.0 * pymath.pi
 
     wy = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 0).astype(
         jnp.float32) + r0.astype(jnp.float32)
@@ -151,10 +254,20 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     r = jnp.sqrt(r2)
 
     phi = _atan2(dy, dx)
-    t = (phi - theta - a0) * inv_dphi
-    b = t - num_beams * jnp.floor(t * (1.0 / num_beams))
-    bins = jnp.round(b).astype(jnp.int32)
-    bins = jnp.where(bins >= num_beams, bins - num_beams, bins)
+    # angular bin honoring the scan's true spacing: wrap in ANGLE space
+    # (one full circle), then cells rounding past the last beam either
+    # wrap to beam 0 (full-circle tables) or are ABSENT (partial-sector
+    # tables) — routed to a padding lane of the beam table (-0.0 = absent)
+    rel = phi - theta - a0
+    rel = rel - two_pi * jnp.floor(rel * (1.0 / two_pi))
+    t = rel * inv_dphi
+    bins_f = jnp.round(t)
+    nb2pi = two_pi * inv_dphi
+    wrap = bins_f >= nb2pi - 0.5
+    absent = (bins_f > num_beams - 1) & (~wrap)
+    bins_f = jnp.where(wrap, 0.0, bins_f)
+    bins_f = jnp.where(absent, float(num_beams), bins_f)
+    bins = bins_f.astype(jnp.int32)
 
     d_enc = _gather_beam(table_ref, bins, wr, cols)
     was_hit = d_enc > 0.0
@@ -171,39 +284,38 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     in_bounds = (wy < float(logical_rows)) & (wx < float(logical_cols))
     inc = jnp.where(present & in_bounds, inc * dens, 0.0)
 
-    # likelihood on ring cells (cell-domain endpoint mixture, map.rs:113-145)
-    p_old = 1.0 - 1.0 / (1.0 + jnp.exp(w32))
-    mix = Z_HIT * p_old + (1.0 - Z_HIT) / SENSOR_MAXDIST
-    factor = jnp.where(w32 == 0.0, 1.0 / SENSOR_MAXDIST, mix)
-    is_end = was_hit & (jnp.abs(r - d) < 0.5) & in_bounds
-    lik_cell = jnp.where(is_end, dens * jnp.log(factor), 0.0)
-    lik_row = jnp.sum(lik_cell, axis=0, keepdims=True)  # [1, cols]
-
     # no log-odds clamp: unbounded growth matches the reference and
     # measurably aids long-run localization (see ops.grid LOGODDS_CLAMP
     # note for the reverted experiment)
-    return w32 + inc, lik_row
+    return w32 + inc
 
 
-def _kernel_resident(off_ref, pp_ref, table_ref, grid_in, lik_ref, grid_out,
-                     *, wr, cols, num_beams, logical_rows, logical_cols):
+def _params(pp_ref, i):
+    return (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2], pp_ref[i, 3],
+            pp_ref[i, 4], pp_ref[i, 5], pp_ref[i, 6], pp_ref[i, 7])
+
+
+def _kernel_resident(off_ref, pp_ref, table_ref, grid_in,
+                     lik_ref, grid_out, *, wr, cols, num_beams,
+                     logical_rows, logical_cols):
     i = pl.program_id(0)
     r0 = pl.multiple_of(off_ref[i], 8)
     w32 = grid_in[i, pl.ds(r0, wr), :].astype(jnp.float32)
-    params = (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2], pp_ref[i, 3])
-    out, lik_row = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
-                              num_beams=num_beams, r0=r0,
-                              logical_rows=logical_rows,
-                              logical_cols=logical_cols)
-    if cols > 128:
-        lik_row = sum(lik_row[:, j * 128:(j + 1) * 128]
-                      for j in range(cols // 128))
-    lik_ref[i % 8, :] = lik_row[0]
+    params = _params(pp_ref, i)
+    lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cols,
+                        num_beams=num_beams, r0=r0,
+                        logical_rows=logical_rows,
+                        logical_cols=logical_cols)
+    out = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
+                     num_beams=num_beams, r0=r0,
+                     logical_rows=logical_rows,
+                     logical_cols=logical_cols)
+    lik_ref[i % 8, :] = jnp.full((128,), lik, jnp.float32)
     grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
 
 
-def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref, grid_in,
-                         lik_ref, grid_out, *, wr, cols, num_beams,
+def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref,
+                         grid_in, lik_ref, grid_out, *, wr, cols, num_beams,
                          logical_rows, logical_cols):
     """Deferred-resample variant: particle i continues lineage
     ``anc_ref[i]`` — the systematic-resample ancestor gather becomes an
@@ -219,48 +331,85 @@ def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref, grid_in,
     a = anc_ref[i]
     r0 = pl.multiple_of(off_ref[i], 8)
     w32 = grid_in[a, pl.ds(r0, wr), :].astype(jnp.float32)
-    params = (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2], pp_ref[i, 3])
-    out, lik_row = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
-                              num_beams=num_beams, r0=r0,
-                              logical_rows=logical_rows,
-                              logical_cols=logical_cols)
-    if cols > 128:
-        lik_row = sum(lik_row[:, j * 128:(j + 1) * 128]
-                      for j in range(cols // 128))
-    lik_ref[i % 8, :] = lik_row[0]
+    params = _params(pp_ref, i)
+    lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cols,
+                        num_beams=num_beams, r0=r0,
+                        logical_rows=logical_rows,
+                        logical_cols=logical_cols)
+    out = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
+                     num_beams=num_beams, r0=r0,
+                     logical_rows=logical_rows,
+                     logical_cols=logical_cols)
+    lik_ref[i % 8, :] = jnp.full((128,), lik, jnp.float32)
     grid_out[i] = grid_in[a]
     grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
 
 
-def _kernel_hbm(off_ref, coff_ref, pp_ref, table_ref, grid_in, lik_ref,
-                grid_out, win, sem_in, sem_out, *, wr, wc, num_beams,
+def _kernel_hbm(off_ref, coff_ref, pp_ref, table_ref, grid_in,
+                lik_ref, grid_out, win, sem_in, sem_out, *, wr, wc, num_beams,
                 logical_rows, logical_cols):
     """HBM-grid variant: the per-particle window is BOTH row- and
     column-cropped ([wr, wc] with a 128-aligned column offset), so huge
     maps (config 3: 1000x1024 cells) move only the scan-disc
-    neighborhood through HBM instead of full-width row bands."""
+    neighborhood through HBM instead of full-width row bands.
+
+    Double-buffered: program i starts the window DMA for particle i+1
+    before computing on particle i, and the write-back DMA of particle i
+    is waited one program later — DMA latency (~us per transfer) overlaps
+    compute instead of serializing 2 round-trips per particle."""
     i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = i % 2
+
+    def in_copy(j, s):
+        rj = pl.multiple_of(off_ref[j], 8)
+        cj = pl.multiple_of(coff_ref[j], 128)
+        return pltpu.make_async_copy(
+            grid_in.at[j, pl.ds(rj, wr), pl.ds(cj, wc)], win.at[s],
+            sem_in.at[s])
+
+    def out_copy(j, s):
+        rj = pl.multiple_of(off_ref[j], 8)
+        cj = pl.multiple_of(coff_ref[j], 128)
+        return pltpu.make_async_copy(
+            win.at[s], grid_out.at[j, pl.ds(rj, wr), pl.ds(cj, wc)],
+            sem_out.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        in_copy(0, 0).start()
+
+    # slot (i+1)%2 was written back by program i-1; its out-DMA must land
+    # before the next in-DMA overwrites the buffer
+    @pl.when(i >= 1)
+    def _():
+        out_copy(i - 1, (i - 1) % 2).wait()
+
+    @pl.when(i + 1 < n)
+    def _():
+        in_copy(i + 1, (i + 1) % 2).start()
+
+    in_copy(i, slot).wait()
+
     r0 = pl.multiple_of(off_ref[i], 8)
     c0 = pl.multiple_of(coff_ref[i], 128)
-    cp_in = pltpu.make_async_copy(
-        grid_in.at[i, pl.ds(r0, wr), pl.ds(c0, wc)], win, sem_in)
-    cp_in.start()
-    cp_in.wait()
-    w32 = win[...].astype(jnp.float32)
-    params = (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2], pp_ref[i, 3])
-    out, lik_row = _cell_pass(w32, params, table_ref, wr=wr, cols=wc,
-                              num_beams=num_beams, r0=r0,
-                              logical_rows=logical_rows,
-                              logical_cols=logical_cols, c0=c0)
-    if wc > 128:
-        lik_row = sum(lik_row[:, j * 128:(j + 1) * 128]
-                      for j in range(wc // 128))
-    lik_ref[i % 8, :] = lik_row[0]
-    win[...] = out.astype(win.dtype)
-    cp_out = pltpu.make_async_copy(
-        win, grid_out.at[i, pl.ds(r0, wr), pl.ds(c0, wc)], sem_out)
-    cp_out.start()
-    cp_out.wait()
+    w32 = win[slot].astype(jnp.float32)
+    params = _params(pp_ref, i)
+    lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=wc,
+                        num_beams=num_beams, r0=r0,
+                        logical_rows=logical_rows,
+                        logical_cols=logical_cols, c0=c0)
+    out = _cell_pass(w32, params, table_ref, wr=wr, cols=wc,
+                     num_beams=num_beams, r0=r0,
+                     logical_rows=logical_rows,
+                     logical_cols=logical_cols, c0=c0)
+    lik_ref[i % 8, :] = jnp.full((128,), lik, jnp.float32)
+    win[slot] = out.astype(win.dtype)
+    out_copy(i, slot).start()
+
+    @pl.when(i == n - 1)
+    def _():
+        out_copy(i, slot).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "num_beams",
@@ -270,7 +419,8 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
                  distances: Array, valid: Array, present: Array,
                  spec: GridSpec2D, num_beams: int, max_range_m: float,
                  resident: bool = True, interpret: bool = False,
-                 ancestors: Array | None = None):
+                 ancestors: Array | None = None,
+                 dphi: Array | None = None):
     """One RBPF grid update for all particles.
 
     Args:
@@ -284,13 +434,18 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         resample): particle i reads map ``grids[ancestors[i]]``.  Only
         supported for ``resident=True`` (HBM grids would pay full-grid
         streaming for the lineage copy; gather those with ``jnp.take``).
+      dphi: scalar beam spacing in radians (defaults to a full-circle
+        table, 2*pi/num_beams — exact for every reference config).
     Returns:
       (grids', log_lik [P]) — log p(z | x_p, m_p) per particle, and the
       per-particle map with the scan integrated.
     """
     p, rows, cols = grids.shape
     assert cols % 128 == 0, "grid column axis must be padded to 128"
-    assert num_beams <= 384, "beam table gather covers bins [0, 384) only"
+    assert num_beams <= 383, "beam table gather covers bins [0, 384) only"
+    if dphi is None:
+        dphi = jnp.float32(2.0 * pymath.pi / num_beams)
+    dphi = jnp.asarray(dphi, jnp.float32)
     wr = window_rows(spec, max_range_m)
     wr = min(wr, rows - rows % 8 if rows % 8 else rows)
     # HBM windows are column-cropped too: 2 aligned 128-col blocks cover
@@ -300,8 +455,12 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
 
     pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
     cxy = (poses[:, 0:2] - pos) / spec.resolution
-    pp = jnp.stack([cxy[:, 0], cxy[:, 1], poses[:, 2],
-                    jnp.broadcast_to(angles0, (p,)).astype(jnp.float32)],
+    theta = poses[:, 2]
+    pp = jnp.stack([cxy[:, 0], cxy[:, 1], theta,
+                    jnp.broadcast_to(angles0, (p,)).astype(jnp.float32),
+                    jnp.cos(theta), jnp.sin(theta),
+                    jnp.broadcast_to(dphi, (p,)),
+                    jnp.broadcast_to(1.0 / dphi, (p,))],
                    axis=-1)
 
     # window row offset: center the disc, clamp, 8-align
@@ -317,7 +476,8 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     c0 = (blk - jnp.where(ccol % 128 < 64, 1, 0)) * 128
     c0 = jnp.clip(c0, 0, max(cols - wc, 0))
 
-    table = encode_beam_table(distances / spec.resolution, valid, present)
+    table = encode_beam_table(distances / spec.resolution, valid, present,
+                              angles0, dphi)
 
     deferred = ancestors is not None
     if deferred:
@@ -338,9 +498,9 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         scratch = []
     else:
         scratch = [
-            pltpu.VMEM((wr, wc), grids.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, wr, wc), grids.dtype),  # double-buffered windows
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
 
     if deferred:
@@ -357,7 +517,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             num_scalar_prefetch=len(prefetch),
             grid=(p,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # pp [P, 4]
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # pp [P, 8]
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # table [8, 512]
                 pl.BlockSpec(memory_space=space),        # grids
             ],
@@ -381,18 +541,18 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             # Mosaic's pipelining (287 us at 84 MB vs 392 us at 100 MB
             # for the 40 MB headline grids, same kernel).
             vmem_limit_bytes=(
-                2 * grids.size * grids.dtype.itemsize + 4 * 1024 * 1024
+                2 * grids.size * grids.dtype.itemsize + 6 * 1024 * 1024
                 if resident else 64 * 1024 * 1024),
         ),
         interpret=interpret,
     )(*prefetch, pp, table, grids)
 
-    return grids_out, jnp.sum(lik, axis=-1)
+    return grids_out, lik[:, 0]
 
 
 def fused_update_reference(grids, poses, angles0, distances, valid, present,
                            spec: GridSpec2D, num_beams: int,
-                           max_range_m: float):
+                           max_range_m: float, dphi=None):
     """Pure-jnp oracle mirroring the kernel math 1:1 (for tests)."""
     p, rows, cols = grids.shape
     wr = window_rows(spec, max_range_m)
@@ -402,13 +562,41 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
     r0 = jnp.round(cxy[:, 1]).astype(jnp.int32) - wr // 2
     r0 = jnp.clip(r0, 0, max(rows - wr, 0))
     r0 = (r0 // 8) * 8
-    table = encode_beam_table(distances / spec.resolution, valid, present)
-    dphi = 2.0 * pymath.pi / num_beams
+    if dphi is None:
+        dphi = jnp.float32(2.0 * pymath.pi / num_beams)
+    dphi = jnp.asarray(dphi, jnp.float32)
+    table = encode_beam_table(distances / spec.resolution, valid, present,
+                              angles0, dphi)
     half = TOLERANCE_CELLS / 2.0
+    two_pi = 2.0 * pymath.pi
 
     def one(grid, cx, cy, theta, rr0):
         win = jax.lax.dynamic_slice(grid, (rr0, 0), (wr, cols)).astype(
             jnp.float32)
+
+        # exact endpoint likelihood (same expanded-rotation math as
+        # _endpoint_lik, computed on the pre-update window)
+        d_b = table[1]
+        ca = table[2]
+        sa = table[3]
+        use = table[4] > 0.5
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        ex = cx + (ct * ca - st * sa) * d_b
+        ey = cy + (st * ca + ct * sa) * d_b
+        in_b_beam = ((ex >= 0.0) & (ey >= 0.0) & (ex < float(spec.cols))
+                     & (ey < float(spec.rows)))
+        use = use & in_b_beam
+        xi = jnp.floor(ex).astype(jnp.int32)
+        yi = jnp.floor(ey).astype(jnp.int32) - rr0
+        use = use & (yi >= 0) & (yi < wr) & (xi >= 0) & (xi < cols)
+        xi = jnp.where(use, xi, 0)
+        yi = jnp.where(use, yi, 0)
+        odds = win[yi, xi]
+        p_end = 1.0 - 1.0 / (1.0 + jnp.exp(odds))
+        mix = Z_HIT * p_end + (1.0 - Z_HIT) / SENSOR_MAXDIST
+        factor = jnp.where(odds == 0.0, 1.0 / SENSOR_MAXDIST, mix)
+        lik = jnp.sum(jnp.where(use, jnp.log(factor), 0.0))
+
         wy = (jnp.arange(wr, dtype=jnp.float32)[:, None]
               + rr0.astype(jnp.float32))
         wx = jnp.arange(cols, dtype=jnp.float32)[None, :]
@@ -417,9 +605,16 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
         r2 = dx * dx + dy * dy
         r = jnp.sqrt(r2)
         phi = jnp.arctan2(dy, dx)
-        t = (phi - theta - angles0) / dphi
-        b = t - num_beams * jnp.floor(t / num_beams)
-        bins = jnp.round(b).astype(jnp.int32) % num_beams
+        rel = phi - theta - angles0
+        rel = rel - two_pi * jnp.floor(rel / two_pi)
+        t = rel / dphi
+        bins_f = jnp.round(t)
+        nb2pi = two_pi / dphi
+        wrap = bins_f >= nb2pi - 0.5
+        absent = (bins_f > num_beams - 1) & (~wrap)
+        bins_f = jnp.where(wrap, 0.0, bins_f)
+        bins_f = jnp.where(absent, float(num_beams), bins_f)
+        bins = bins_f.astype(jnp.int32)
         d_enc = table[0][bins]
         was_hit = d_enc > 0.0
         pres = (d_enc > 0.0) | (d_enc < 0.0)
@@ -431,11 +626,6 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
         dens = jnp.maximum(1.0, 1.0 / (jnp.maximum(r, 0.5) * dphi))
         in_b = (wy < float(spec.rows)) & (wx < float(spec.cols))
         inc = jnp.where(pres & in_b, inc * dens, 0.0)
-        p_old = 1.0 - 1.0 / (1.0 + jnp.exp(win))
-        mix = Z_HIT * p_old + (1.0 - Z_HIT) / SENSOR_MAXDIST
-        factor = jnp.where(win == 0.0, 1.0 / SENSOR_MAXDIST, mix)
-        is_end = was_hit & (jnp.abs(r - d) < 0.5) & in_b
-        lik = jnp.sum(jnp.where(is_end, dens * jnp.log(factor), 0.0))
         out = jax.lax.dynamic_update_slice(
             grid, (win + inc).astype(grid.dtype), (rr0, 0))
         return out, lik

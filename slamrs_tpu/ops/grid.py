@@ -283,7 +283,13 @@ def grid_integrate_dense(grid: Array, spec: GridSpec2D, pose: Array,
     from slamrs_tpu.ops.lookup import radix_lookup
 
     b = angles.shape[-1]
-    dphi = 2.0 * jnp.pi / b
+    # honor the scan's true angular spacing (the simulator emits
+    # 1-degree tables regardless of beam count, simulator.py:155) —
+    # assuming 2*pi/b mis-bins every cell for partial-sector tables
+    if b > 1:
+        dphi = angles[..., 1] - angles[..., 0]
+    else:
+        dphi = jnp.float32(2.0 * jnp.pi)
     start = spec.world_to_grid(pose[..., 0:2])  # grid coords, continuous
 
     # full-grid mode when the window covers most of the grid: skips the
@@ -311,10 +317,18 @@ def grid_integrate_dense(grid: Array, spec: GridSpec2D, pose: Array,
     dy = cy - start[..., 1]
     r = jnp.sqrt(dx * dx + dy * dy)  # cell units (matches map.rs:100)
 
-    # beam lookup: world angle of the cell minus robot heading
+    # beam lookup: world angle of the cell minus robot heading, wrapped
+    # in ANGLE space; cells past the last beam either wrap to beam 0
+    # (full-circle tables) or fall outside the swept sector (absent)
+    two_pi = 2.0 * jnp.pi
     phi = jnp.arctan2(dy, dx) - pose[..., 2]
     rel = phi - angles[..., 0]  # relative to the scan's first beam angle
-    beam = jnp.round(rel / dphi).astype(jnp.int32) % b
+    rel = rel - two_pi * jnp.floor(rel / two_pi)
+    t = rel / dphi
+    beam_f = jnp.round(t)
+    wrap = beam_f >= two_pi / dphi - 0.5
+    in_sector = wrap | (beam_f <= b - 1)
+    beam = jnp.where(wrap | ~in_sector, 0.0, beam_f).astype(jnp.int32)
 
     # gather-free beam-table lookup (see ops.lookup): one [B, 3] table
     table = jnp.stack([distances / spec.resolution,
@@ -323,7 +337,7 @@ def grid_integrate_dense(grid: Array, spec: GridSpec2D, pose: Array,
     vals = radix_lookup(table, beam)
     d_meas = vals[..., 0]
     was_hit = vals[..., 1] > 0.5
-    pres = vals[..., 2] > 0.5
+    pres = (vals[..., 2] > 0.5) & in_sector
 
     inc = inverse_sensor_model_log_odds(r, d_meas, was_hit)
     if multiplicity:

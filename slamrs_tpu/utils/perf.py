@@ -30,7 +30,10 @@ class PerfStats:
             old_mean = self.mean
             self.mean += (msecs - self.mean) / self.sample_count
             self.var_sum += (msecs - old_mean) * (msecs - self.mean)
-            self.std = math.sqrt(self.var_sum / self.sample_count)
+            # var_sum can go epsilon-negative by float cancellation; the
+            # reference's f64.sqrt() yields NaN there (lib.rs:56), Python
+            # raises — clamp instead of crashing the frame loop
+            self.std = math.sqrt(max(self.var_sum, 0.0) / self.sample_count)
         else:
             self.mean = msecs
         self.min = min(self.min, msecs)
