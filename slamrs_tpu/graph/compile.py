@@ -142,11 +142,16 @@ class FusedWorld:
 
             if self.grid_config is not None:
                 gcfg = self.grid_config
-                if batch and gcfg.integrate == "fused" \
-                        and gcfg.fused_resident is None:
+                if batch and gcfg.integrate == "fused":
                     # batched worlds: per-world grids look small at trace
-                    # time, but the stacked array must stream from HBM
-                    gcfg = dataclasses.replace(gcfg, fused_resident=False)
+                    # time, but the stacked array must stream from HBM;
+                    # the CoW copy kernel is per-call (not vmappable) so
+                    # fleets keep the gather resample
+                    gcfg = dataclasses.replace(
+                        gcfg,
+                        fused_resident=(False if gcfg.fused_resident is None
+                                        else gcfg.fused_resident),
+                        resample_cow=False)
                 upd = lambda st, sc, od, k: gs_model.update(
                     st, sc, od, k, gcfg)
                 if batch:

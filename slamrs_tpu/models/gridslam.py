@@ -73,6 +73,11 @@ class GridSlamConfig:
     # forces HBM windows — REQUIRED under vmap (the per-world slice looks
     # small at trace time but the batched array is worlds x bigger)
     fused_resident: bool | None = None
+    # copy-on-write resampling for the fused HBM path (ops.cow): moves
+    # only duplicated maps instead of gathering the whole 2 GB set.
+    # None = auto (on for unbatched fused-HBM).  MUST be False under
+    # vmap (the copy kernel is per-call) — the graph compiler sets it.
+    resample_cow: bool | None = None
 
     @property
     def padded_cols(self) -> int:
@@ -216,11 +221,24 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     identity = jnp.arange(p, dtype=jnp.int32)
     ancestors = jnp.where(do_resample, ancestors, identity)
 
-    new_poses = jnp.take(new_poses, ancestors, axis=0)
     weights = jnp.where(do_resample, jnp.full((p,), 1.0 / p), weights)
+    use_cow = (config.integrate == "fused" and not deferred
+               and (config.resample_cow
+                    if config.resample_cow is not None else True))
     if deferred:
+        new_poses = jnp.take(new_poses, ancestors, axis=0)
         pending = ancestors  # grids gathered inside the NEXT kernel call
+    elif use_cow:
+        # slot-preserving copy-on-write: only duplicated maps move (the
+        # identity-ancestor skip case degenerates to zero copies)
+        from slamrs_tpu.ops.cow import cow_resample
+
+        new_poses, grids = cow_resample(
+            grids, new_poses, ancestors,
+            interpret=jax.default_backend() == "cpu")
+        pending = identity
     else:
+        new_poses = jnp.take(new_poses, ancestors, axis=0)
         grids = jax.lax.cond(
             do_resample,
             lambda ga: jnp.take(ga[0], ga[1], axis=0),

@@ -1,0 +1,143 @@
+"""Copy-on-write particle resampling: move only duplicated maps.
+
+Parity surface: ``ParticleFilter::resample`` (slamrs/slam/src/grid/
+particle.rs:78-105) clones ``(Pose, Map)`` for every surviving particle —
+a full deep copy of the particle set.  The whole-set formulation on TPU
+(``jnp.take`` by ancestor index) still moves every byte of every map
+through HBM; for BASELINE config 3 (1,024 x ~2 MB maps = 2 GB) that
+gather IS the step time (measured resample-gather-bound at 320 ticks/s
+in round 2).
+
+TPU-native design — a PF-specific allocator, not a gather:
+
+* After systematic resampling, an ancestor with >= 1 child KEEPS its map
+  in its own slot (zero bytes moved); ancestors with no children free
+  their slots; each duplicated child takes a freed slot and only THOSE
+  maps are copied (``grid[dst] <- grid[src]``).  Expected copy volume is
+  ``(1 - unique_fraction) * P`` maps (~30-40% after a degenerate update,
+  ZERO when the N_eff gate skips resampling — identity ancestors produce
+  an empty copy list with no branching).
+* Particle identity becomes slot-order-free: a particle filter is a
+  weighted multiset, so relabeling slots is semantics-preserving (the
+  resampled multiset is exactly the reference's).  The DDA parity path
+  keeps the order-exact ``jnp.take`` so lineage-exact oracle tests stay
+  byte-identical (tests/test_parity.py).
+* The copies run in one Pallas kernel over P programs: program j issues
+  an async whole-map DMA ``grids[src[j]] -> grids[dst[j]]`` (in-place
+  aliased buffer — src slots are survivors, dst slots are freed, so the
+  regions are disjoint and copies race-free), pipelined ``_DEPTH`` deep
+  so HBM DMAs overlap instead of serializing issue+wait per map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_DEPTH = 4  # outstanding copy DMAs
+
+
+def cow_plan(ancestors: Array) -> tuple[Array, Array, Array]:
+    """Slot-preserving copy plan from ancestor indices.
+
+    ancestors: i32[P] (systematic-resample output; identity when the
+    N_eff gate skipped resampling).
+    Returns (src, dst, n_copies): padded i32[P] copy lists — copies
+    ``j < n_copies`` move map ``src[j]`` into freed slot ``dst[j]``;
+    padding entries are identity self-writes on a surviving slot.
+    """
+    p = ancestors.shape[-1]
+    j = jnp.arange(p, dtype=jnp.int32)
+    counts = jnp.zeros((p,), jnp.int32).at[ancestors].add(1)
+    extra = jnp.maximum(counts - 1, 0)
+    bounds = jnp.cumsum(extra)
+    n_copies = bounds[-1]
+    # copy j's source: the ancestor whose extra-children range covers j
+    src = jnp.searchsorted(bounds, j, side="right").astype(jnp.int32)
+    src = jnp.clip(src, 0, p - 1)
+    # copy j's destination: the j-th freed slot (ascending)
+    is_free = counts == 0
+    free_sorted = jnp.argsort(
+        jnp.where(is_free, 0, 1), stable=True).astype(jnp.int32)
+    # padding: a guaranteed-survivor slot (ancestors[0] has >= 1 child),
+    # self-write — never collides with a real copy's freed dst slot
+    pad = ancestors[..., 0]
+    live = j < n_copies
+    src = jnp.where(live, src, pad)
+    dst = jnp.where(live, free_sorted, pad)
+    return src, dst, n_copies
+
+
+def _kernel_cow(nc_ref, src_ref, dst_ref, grid_in, grid_out, sem):
+    j = pl.program_id(0)
+    n = pl.num_programs(0)
+    nc = nc_ref[0]
+
+    def copy(k):
+        return pltpu.make_async_copy(
+            grid_in.at[src_ref[k]], grid_out.at[dst_ref[k]],
+            sem.at[k % _DEPTH])
+
+    # wait for the copy whose semaphore slot this program reuses
+    @pl.when((j >= _DEPTH) & (j - _DEPTH < nc))
+    def _():
+        copy(j - _DEPTH).wait()
+
+    @pl.when(j < nc)
+    def _():
+        copy(j).start()
+
+    # drain the tail
+    @pl.when(j == n - 1)
+    def _():
+        for k in range(_DEPTH):
+            jj = n - _DEPTH + k
+            if jj >= 0:
+                @pl.when(jj < nc)
+                def _():
+                    copy(jj).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cow_copy(grids: Array, src: Array, dst: Array, n_copies: Array,
+             interpret: bool = False) -> Array:
+    """Apply the copy plan in place: ``grids[dst[j]] = grids[src[j]]``
+    for ``j < n_copies``.  grids [P, H, W] (any dtype), aliased in/out —
+    only the duplicated maps move through memory."""
+    p = grids.shape[0]
+    nc = jnp.reshape(n_copies, (1,)).astype(jnp.int32)
+    return pl.pallas_call(
+        _kernel_cow,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # nc, src, dst
+            grid=(p,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_DEPTH,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct(grids.shape, grids.dtype),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(nc, src.astype(jnp.int32), dst.astype(jnp.int32), grids)
+
+
+def cow_resample(grids: Array, poses: Array, ancestors: Array,
+                 interpret: bool = False) -> tuple[Array, Array]:
+    """Slot-preserving resample of (poses [P,3], grids [P,H,W]).
+
+    Returns the resampled (poses, grids): the same particle multiset as
+    ``take(..., ancestors)`` in a different slot order, moving only
+    duplicated maps.  NOT safe under vmap (the copy kernel's scalar
+    prefetch is per-call) — batched fleets keep the gather formulation.
+    """
+    src, dst, n_copies = cow_plan(ancestors)
+    grids = cow_copy(grids, src, dst, n_copies, interpret=interpret)
+    poses = poses.at[dst].set(poses[src])
+    return poses, grids
