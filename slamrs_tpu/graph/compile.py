@@ -81,6 +81,11 @@ class FusedWorld:
     ekf_config: Optional[ekf_model.EkfConfig]
     control_script: list  # [[until_t, left, right], ...]
     num_beams: int = 360
+    # optional (world, particle) device mesh: batched fused-path SLAM
+    # updates then run the Pallas kernel under shard_map on each
+    # device's local block (parallel/shard.py); everything else stays
+    # auto-partitioned.  None = single-device (plain vmap).
+    mesh: Any = None
 
     # ---- state ------------------------------------------------------------
 
@@ -156,7 +161,13 @@ class FusedWorld:
                     st, sc, od, k, gcfg)
                 if batch:
                     keys = jax.random.split(k_grid, batch[0])
-                    grid, gout = jax.vmap(upd)(grid, scan, odometry, keys)
+                    if self.mesh is not None and gcfg.integrate == "fused":
+                        grid, gout = gs_model.update_fleet(
+                            grid, scan, odometry, keys, gcfg,
+                            mesh=self.mesh)
+                    else:
+                        grid, gout = jax.vmap(upd)(grid, scan, odometry,
+                                                   keys)
                 else:
                     grid, gout = upd(grid, scan, odometry, k_grid)
                 outs["grid_pose"] = gout.pose
@@ -398,7 +409,8 @@ def make_fused(scene: Optional[sim_model.Scene] = None,
                ekf_config: Optional[ekf_model.EkfConfig] = None,
                control_script: Optional[list] = None,
                num_beams: int = 360,
-               dt: float = sim_model.DEFAULT_DT) -> "FusedWorld":
+               dt: float = sim_model.DEFAULT_DT,
+               mesh: Any = None) -> "FusedWorld":
     """Programmatic FusedWorld builder (benchmarks / entry points)."""
     if scene is None:
         scene = sim_model.Scene.build(
@@ -415,7 +427,7 @@ def make_fused(scene: Optional[sim_model.Scene] = None,
         grid_config=grid_config, icp_config=icp_config,
         ekf_config=ekf_config,
         control_script=control_script or [[1e9, 0.05, 0.08]],
-        num_beams=num_beams)
+        num_beams=num_beams, mesh=mesh)
 
 
 def _scan_topic_aliases(config: Config, source_topic: Optional[str],

@@ -93,6 +93,10 @@ class ControlsNode(Node):
         self.pub = pubsub.publish(config.topic_command, Command)
         self.time = 0.0
         self.last: Optional[tuple] = None
+        # script is immutable config: sort once (same selection rule as
+        # FusedWorld.commands_for), not per 30 Hz frame
+        self._sorted_script = sorted(config.script,
+                                     key=lambda r: float(r[0]))
 
     def advance(self, dt: float) -> None:
         self.time += dt
@@ -110,7 +114,7 @@ class ControlsNode(Node):
         # earliest matching row wins (rows sorted by until_t — the same
         # selection rule FusedWorld.commands_for applies, so the node
         # graph and the compiled rollout agree on out-of-order scripts)
-        for row in sorted(self.config.script, key=lambda r: float(r[0])):
+        for row in self._sorted_script:
             until, left, right = row
             if self.time <= until:
                 self._publish(float(left), float(right))

@@ -258,6 +258,76 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
                                       resampled=do_resample)
 
 
+def update_fleet(state: GridSlamState, scan: Scan,
+                 odometry: OdometryReading, keys: Array,
+                 config: GridSlamConfig, mesh=None
+                 ) -> tuple[GridSlamState, GridSlamOutputs]:
+    """Batched-worlds update ([W, ...] state, per-world scan/odo/keys).
+
+    Semantically ``vmap(update)`` — and that is literally the fallback —
+    but with a mesh the fused Pallas kernel runs under ``shard_map`` on
+    each device's local (world, particle) block
+    (:func:`slamrs_tpu.parallel.shard.fused_update_batched`); everything
+    around the kernel stays in pjit-land where the SPMD partitioner owns
+    the collectives (weight normalization/N_eff reduce over the sharded
+    particle axis, the resample gather's all-gather).  Matches the
+    reference update loop slam.rs:45-75 run over W independent worlds.
+
+    Fleet semantics mirror the vmapped path: applied (not deferred)
+    resampling, whole-set gather (no CoW — slot relabeling is per-call).
+    """
+    if config.integrate != "fused" or mesh is None:
+        upd = lambda st, sc, od, k: update(st, sc, od, k, config)
+        return jax.vmap(upd)(state, scan, odometry, keys)
+
+    p = config.n_particles
+    spec = config.grid_spec
+
+    ks = jax.vmap(jax.random.split)(keys)  # [W, 2, ...]
+    k_motion, k_resample = ks[:, 0], ks[:, 1]
+
+    new_poses = jax.vmap(motion.sample)(
+        k_motion, state.poses, odometry.distance_left,
+        odometry.distance_right, odometry.wheel_base)
+
+    from slamrs_tpu.parallel.shard import fused_update_batched
+
+    nb = scan.angles.shape[-1]
+    dphi = (scan.angles[:, 1] - scan.angles[:, 0] if nb > 1
+            else jnp.full(scan.angles.shape[:1], 2.0 * jnp.pi, jnp.float32))
+    grids, log_lik = fused_update_batched(
+        state.grids, new_poses, scan.angles[:, 0], scan.distances,
+        scan.valid, scan.present, spec, nb, config.max_scan_range,
+        dphi, mesh=mesh, interpret=jax.default_backend() == "cpu")
+
+    log_motion = jax.vmap(motion.log_prob)(
+        state.poses, new_poses, odometry.distance_left,
+        odometry.distance_right, odometry.wheel_base)
+    log_w = jnp.log(state.weights) + log_lik + log_motion
+
+    weights = jax.vmap(_resample.normalize_log_weights)(log_w)
+    best_idx = jnp.argmax(weights, axis=-1).astype(jnp.int32)
+    best_pose = jnp.take_along_axis(
+        new_poses, best_idx[:, None, None], axis=1)[:, 0]
+    n_eff = jax.vmap(_resample.effective_particles)(weights)
+
+    do_resample = n_eff <= config.resample_neff_frac * p
+    ancestors = jax.vmap(_resample.systematic_resample)(k_resample, weights)
+    identity = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32),
+                                ancestors.shape)
+    ancestors = jnp.where(do_resample[:, None], ancestors, identity)
+    weights = jnp.where(do_resample[:, None], 1.0 / p, weights)
+
+    new_poses = jnp.take_along_axis(new_poses, ancestors[:, :, None], axis=1)
+    grids = jnp.take_along_axis(grids, ancestors[:, :, None, None], axis=1)
+
+    new_state = GridSlamState(
+        poses=new_poses, grids=grids, weights=weights,
+        best_pose=best_pose, best_idx=best_idx, ancestors=identity)
+    return new_state, GridSlamOutputs(pose=best_pose, n_eff=n_eff,
+                                      resampled=do_resample)
+
+
 def estimated_probability_grid(state: GridSlamState,
                                config: GridSlamConfig | None = None) -> Array:
     """Occupancy probabilities of the best particle's map.

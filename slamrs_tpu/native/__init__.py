@@ -107,15 +107,26 @@ class _WireNative:
         lib.wire_encode_command.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, u8p]
+        # reused output buffers for the robot-link hot path (the reader
+        # thread is the only caller; results are copied out per frame)
+        self._scans_buf = None
+        self._odo_buf = None
+        self._rpm_buf = None
+        self._buf_frames = 0
 
     def decode_scan_frames(self, data: bytes, max_frames: int = 64):
         """Returns ([(scan_bytes, (ol, or), rpm), ...], consumed)."""
         import numpy as np
 
         buf = np.frombuffer(data, np.uint8)
-        scans = np.zeros((max_frames, 1980), np.uint8)
-        odo = np.zeros((max_frames, 2), np.float32)
-        rpm = np.zeros(max_frames, np.uint16)
+        if max_frames > self._buf_frames:
+            self._scans_buf = np.zeros((max_frames, 1980), np.uint8)
+            self._odo_buf = np.zeros((max_frames, 2), np.float32)
+            self._rpm_buf = np.zeros(max_frames, np.uint16)
+            self._buf_frames = max_frames
+        scans = self._scans_buf
+        odo = self._odo_buf
+        rpm = self._rpm_buf
         consumed = ctypes.c_long(0)
         n = self._lib.wire_decode_scan_frames(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),

@@ -147,7 +147,12 @@ def nearest_neighbors_fused(p_t: Array, q: Array, q_count: Array,
         out_shape=jax.ShapeDtypeStruct((b, np_pad), jnp.int32),
         interpret=interpret,
     )(pt, qrows)
-    return jnp.minimum(out[:, :n_p], nq - 1)
+    idx = jnp.minimum(out[:, :n_p], nq - 1)
+    # degenerate all-invalid contract match: with q_count == 0 every d2
+    # is ~_BIG and the in-kernel tie-break would land on an arbitrary
+    # lane; the XLA argmin path returns 0 — do the same so the opt-in
+    # kernel is a drop-in replacement
+    return jnp.where(q_count[:, None] > 0, idx, 0)
 
 
 def nearest_neighbors(p: Array, q: Array, q_count: Array) -> Array:

@@ -50,8 +50,18 @@ def load(path: str, like: Any) -> Any:
     and device placement of ``like`` (build it with the same config)."""
     import jax.numpy as jnp
 
+    import warnings
+
     with np.load(path) as data:
         like_leaves, treedef = jax.tree.flatten(like)
+        if "__treedef__" in data.files:
+            saved_td = bytes(data["__treedef__"]).decode()
+            if saved_td != str(treedef):
+                raise ValueError(
+                    "checkpoint pytree structure does not match the "
+                    f"template — saved:\n  {saved_td}\nexpected:\n  "
+                    f"{treedef}\n(was the checkpoint written by a "
+                    "different config?)")
         n = sum(1 for k in data.files if k.startswith("leaf_"))
         if n != len(like_leaves):
             raise ValueError(
@@ -66,6 +76,16 @@ def load(path: str, like: Any) -> Any:
                     f"leaf {i}: checkpoint shape {arr.shape} != template "
                     f"{tmpl.shape}")
             if hasattr(tmpl, "dtype"):
+                tgt = jnp.dtype(tmpl.dtype)
+                # bf16 leaves are saved widened to f32 (lossless round
+                # trip) — any OTHER narrowing cast is a config smell
+                if (np.dtype(arr.dtype).itemsize > tgt.itemsize
+                        and not (arr.dtype == np.float32
+                                 and tgt == jnp.bfloat16)):
+                    warnings.warn(
+                        f"checkpoint leaf {i}: narrowing {arr.dtype} -> "
+                        f"{tgt} on load (template dtype differs from the "
+                        "saved state)", stacklevel=2)
                 leaf = jnp.asarray(arr, tmpl.dtype)
                 if hasattr(tmpl, "sharding") and hasattr(
                         tmpl.sharding, "mesh"):

@@ -69,6 +69,20 @@ def test_graft_entry_single_chip():
     jax.jit(fn).lower(*args)
 
 
+def test_graft_entry_executes_small_shape():
+    """ADVICE r2: the lower()-only flagship check cannot catch Pallas
+    runtime regressions — execute the same fused kernel path at a
+    reduced shape (interpret mode on CPU)."""
+    import sys
+    sys.path.insert(0, str(CONFIG_DIR.parent))
+    import __graft_entry__ as ge
+    fn, args = ge.entry_small()
+    state, outs = jax.jit(fn)(*args)
+    assert bool(outs.fired)
+    assert np.isfinite(float(outs.n_eff))
+    assert np.isfinite(np.asarray(state.grid.poses)).all()
+
+
 def test_dryrun_multichip_8():
     import sys
     sys.path.insert(0, str(CONFIG_DIR.parent))
@@ -127,6 +141,52 @@ def test_fleet_rollout_from_grid_slam_preset_sharded():
     assert np.isfinite(np.asarray(outs.n_eff)).all()
     # the world axis is actually sharded across devices
     assert len(final.pose.sharding.device_set) == 8
+
+
+def test_fleet_fused_sharded():
+    """VERDICT r2 #1: the fused (headline) Pallas path executes under the
+    (world, particle) mesh — kernel via shard_map on each device's local
+    block, collectives (weight normalize, resample gather) partitioner-
+    inserted — and matches the single-device vmapped fleet bitwise-close."""
+    from slamrs_tpu.models.gridslam import GridSlamConfig
+    from slamrs_tpu.parallel.fleet import (fleet_shardings, make_mesh,
+                                           shard_world_state)
+
+    cfg = GridSlamConfig(resolution=0.1, n_particles=8, integrate="fused",
+                         resample_neff_frac=0.5, grid_dtype="bfloat16")
+    worlds = 8
+    mesh = make_mesh(8, particle_axis=2)  # 4 world-shards x 2 p-shards
+
+    fw_sharded = make_fused(grid_config=cfg, num_beams=64, mesh=mesh)
+    fw_plain = make_fused(grid_config=cfg, num_beams=64)
+
+    state = fw_plain.init((worlds,))
+    sharded_state = shard_world_state(state, mesh, worlds)
+    shardings = fleet_shardings(sharded_state, mesh, worlds)
+
+    n = 16  # two scan ticks at update_period=0.2, dt=1/30
+
+    @jax.jit
+    def run_sharded(s):
+        final, outs = fw_sharded.rollout(s, n, seed=5)
+        return jax.lax.with_sharding_constraint(final, shardings), outs
+
+    final_s, outs_s = run_sharded(sharded_state)
+    final_p, outs_p = jax.jit(lambda s: fw_plain.rollout(s, n, seed=5))(
+        state)
+
+    # particle axis of the grids is actually device-sharded
+    assert len(final_s.grid.grids.sharding.device_set) == 8
+    assert final_s.grid.grids.sharding.spec[:2] == ("world", "particle")
+    # identical math to the unsharded fleet (same seed, same kernel body)
+    np.testing.assert_allclose(np.asarray(outs_s.n_eff),
+                               np.asarray(outs_p.n_eff), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(final_s.grid.poses),
+                               np.asarray(final_p.grid.poses), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(final_s.grid.grids, np.float32),
+        np.asarray(final_p.grid.grids, np.float32), atol=1e-2)
+    assert np.isfinite(np.asarray(outs_s.n_eff)).all()
 
 
 def test_fused_preset_selects_kernel_path():
