@@ -25,21 +25,18 @@ def cmd_run(args):
     app.run(duration_s=args.duration)
     print(f"ran {args.duration}s of sim time; frame {app.frame_stats}")
     viz = app.node(VisualizerNode)
-    if viz is not None:
-        if args.png:
-            viz.render_png(args.png)
-            print("wrote", args.png)
-        if args.npz:
-            viz.save_npz(args.npz)
-            print("wrote", args.npz)
-    elif args.png and app.renderer is not None:
-        # no Visualizer node: rasterize the nodes' draw-hook output
-        # (ShapeTest / GaussianTest / EKF heat-map debug shapes)
+    if args.png and app.renderer is not None:
+        # rasterize the composed frame: every node's draw hook (scene +
+        # ground-truth pose from the simulator, debug shapes) plus the
+        # Visualizer topics, exactly what the reference's GL window shows
         from slamrs_tpu.viz.shapes import render_draw_calls
 
         calls = app.renderer.flush()
         render_draw_calls(calls, args.png)
         print("wrote", args.png)
+    if viz is not None and args.npz:
+        viz.save_npz(args.npz)
+        print("wrote", args.npz)
     app.terminate()
 
 

@@ -120,6 +120,28 @@ class SimulatorNode(Node):
         # for Node parity (the reference ticks from draw(), lib.rs:123).
         pass
 
+    def draw(self, viz=None) -> None:
+        """Scene segments + ground-truth pose arrow (lib.rs:142-154):
+        the world that produced the map, gated by the same
+        draw_scene/draw_pose config flags as the reference."""
+        if viz is None:
+            return
+        from slamrs_tpu.viz.shapes import Color, PrimitiveType
+
+        if self.config.draw_scene:
+            segs = np.asarray(self.scene.segments, np.float32)
+            mask = np.asarray(self.scene.segment_mask, bool)
+            v = segs[mask].reshape(-1, 2, 2).reshape(-1, 2)
+            viz.sr.begin(PrimitiveType.LINE)
+            viz.sr._emit_batch(
+                v, np.broadcast_to(np.float32([0, 0, 0, 1]), (len(v), 4)))
+            viz.sr.end()
+        if self.config.draw_pose:
+            x, y, th = (float(p) for p in self.get_pose())
+            viz.sr.begin(PrimitiveType.FILLED)
+            viz.sr.arrow(x, y, th, 0.1, Color.BLUE)
+            viz.sr.end()
+
     def get_pose(self) -> np.ndarray:
         return np.asarray(self.state.pose)
 

@@ -70,6 +70,8 @@ class ShapeRenderer:
         self._current: PrimitiveType | None = None
         self._verts: list = []
         self._cols: list = []
+        self._batches: list = []  # (verts [N,2], cols [N,4]) fast-path
+        self._batch_count = 0
 
     # -- batch control ------------------------------------------------------
 
@@ -81,23 +83,49 @@ class ShapeRenderer:
     def end(self) -> None:
         if self._current is None:
             raise RuntimeError("end() without begin()")
+        chunks_v = []
+        chunks_c = []
         if self._verts:
+            chunks_v.append(np.asarray(self._verts, np.float32))
+            chunks_c.append(np.asarray(self._cols, np.float32))
+        chunks_v += [v for v, _ in self._batches]
+        chunks_c += [c for _, c in self._batches]
+        if chunks_v:
             self._calls.append(DrawCall(
                 self._current,
-                np.asarray(self._verts, np.float32),
-                np.asarray(self._cols, np.float32)))
+                np.concatenate(chunks_v, axis=0),
+                np.concatenate(chunks_c, axis=0)))
         self._current = None
         self._verts, self._cols = [], []
+        self._batches = []
+        self._batch_count = 0
 
     def flush(self) -> list[DrawCall]:
         calls, self._calls = self._calls, []
         return calls
 
     def _emit(self, x, y, color: Color):
-        if len(self._verts) >= self.max_vertices:
+        if len(self._verts) + self._batch_count >= self.max_vertices:
             return  # reference renderer drops beyond the buffer budget
         self._verts.append((float(x), float(y)))
         self._cols.append(color.rgba())
+
+    def _emit_batch(self, verts: np.ndarray, cols: np.ndarray) -> None:
+        """Vectorized emit: verts f32[N, 2], cols f32[N, 4] (budget-capped).
+
+        Host-side fast path for dense emitters (grid-cell fields) — the
+        reference pushes the same vertices one at a time into its GL
+        buffer (primitiverenderer.rs vertex batching); a python loop at
+        240k vertices/frame is not viable, one array append is.  Within a
+        begin/end pair, batch vertices sort after scalar ones.
+        """
+        room = self.max_vertices - len(self._verts) - self._batch_count
+        if room <= 0:
+            return
+        verts = np.asarray(verts, np.float32)[:room]
+        cols = np.asarray(cols, np.float32)[:room]
+        self._batches.append((verts, cols))
+        self._batch_count += len(verts)
 
     # -- shapes (shaperenderer.rs) -------------------------------------------
 
@@ -151,6 +179,64 @@ class ShapeRenderer:
             return
         for a, b in ((tip, left), (left, right), (right, tip)):
             self.line(*a, *b, color)
+
+    def rects_batch(self, xy: np.ndarray, w: float, h: float,
+                    colors: np.ndarray) -> None:
+        """Vectorized axis-aligned rect field (one rect per ``xy`` row,
+        uniform size, per-rect RGBA) — the dense-emitter form of
+        :meth:`rect` used for grid-cell fields and point markers
+        (visualize.rs draws those as per-cell/per-point ``sr.rect``
+        calls; semantics identical, emission batched)."""
+        xy = np.asarray(xy, np.float32)
+        colors = np.asarray(colors, np.float32)
+        n = len(xy)
+        if n == 0:
+            return
+        if colors.ndim == 1:
+            colors = np.broadcast_to(colors, (n, 4))
+        x, y = xy[:, 0], xy[:, 1]
+        if self._current is PrimitiveType.FILLED:
+            # two CCW triangles per rect, 6 vertices
+            corners = np.stack([
+                np.stack([x, y], -1), np.stack([x + w, y], -1),
+                np.stack([x + w, y + h], -1),
+                np.stack([x, y], -1), np.stack([x + w, y + h], -1),
+                np.stack([x, y + h], -1)], axis=1)  # [N, 6, 2]
+            cols = np.repeat(colors, 6, axis=0)
+            self._emit_batch(corners.reshape(-1, 2), cols)
+            return
+        # 4 outline segments per rect, 8 vertices
+        corners = np.stack([
+            np.stack([x, y], -1), np.stack([x + w, y], -1),
+            np.stack([x + w, y], -1), np.stack([x + w, y + h], -1),
+            np.stack([x + w, y + h], -1), np.stack([x, y + h], -1),
+            np.stack([x, y + h], -1), np.stack([x, y], -1)], axis=1)
+        cols = np.repeat(colors, 8, axis=0)
+        self._emit_batch(corners.reshape(-1, 2), cols)
+
+    def gaussian2d_confidence(self, mean, covariance, p: float = 0.95,
+                              segments: int = 25) -> None:
+        """The reference's standalone confidence ellipse
+        (shaperenderer.rs:225-260): a filled blue 0.01-radius center dot
+        plus a black outline ellipse scaled by ``s = -2 ln(1 - p)``.
+        Manages its own begin/end pairs, exactly like the reference."""
+        mean = np.asarray(mean, np.float64).reshape(2)
+        cov = np.asarray(covariance, np.float64).reshape(2, 2)
+        self.begin(PrimitiveType.FILLED)
+        self.circle(mean[0], mean[1], 0.01, Color.BLUE)
+        self.end()
+        s = -2.0 * math.log(max(1.0 - p, 1e-12))
+        vals, vecs = np.linalg.eigh(cov * s)
+        vals = np.maximum(vals, 0.0)
+        vd = vecs @ np.diag(np.sqrt(vals))
+        ang = np.linspace(0, 2 * np.pi, segments + 1)
+        pts = vd @ np.stack([np.cos(ang), np.sin(ang)])
+        self.begin(PrimitiveType.LINE)
+        for i in range(segments):
+            self.line(mean[0] + pts[0, i], mean[1] + pts[1, i],
+                      mean[0] + pts[0, i + 1], mean[1] + pts[1, i + 1],
+                      Color.BLACK)
+        self.end()
 
     def gaussian2d(self, mean, covariance, color: Color, n_std: float = 2.0,
                    segments: int = 32) -> None:
@@ -238,15 +324,30 @@ def render_draw_calls(calls: list[DrawCall], path: str,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from matplotlib.collections import LineCollection, PolyCollection
+
     fig, ax = plt.subplots(figsize=(7, 7))
     ax.set_aspect("equal")
     for call in calls:
         v, c = call.vertices, call.colors
         if call.primitive == PrimitiveType.POINT:
             ax.scatter(v[:, 0], v[:, 1], s=2, c=c)
-        elif call.primitive in (PrimitiveType.LINE, PrimitiveType.FILLED):
-            for i in range(0, len(v) - 1, 2):
-                ax.plot(v[i:i + 2, 0], v[i:i + 2, 1], color=c[i], lw=0.8)
+        elif call.primitive == PrimitiveType.LINE:
+            n = len(v) // 2
+            segs = v[:2 * n].reshape(n, 2, 2)
+            ax.add_collection(LineCollection(
+                segs, colors=c[:2 * n:2], linewidths=0.8))
+        elif call.primitive == PrimitiveType.FILLED:
+            # every 3 vertices form one triangle, exactly the GL
+            # semantics of primitiverenderer.rs PrimitiveType::Filled
+            n = len(v) // 3
+            tris = v[:3 * n].reshape(n, 3, 2)
+            # antialiasing off: abutting cell quads would otherwise show
+            # seams (the GL reference rasterizes exact coverage)
+            ax.add_collection(PolyCollection(
+                tris, facecolors=c[:3 * n:3], edgecolors="none",
+                antialiaseds=False))
+    ax.autoscale_view()
     if camera is not None:
         x0, x1, y0, y1 = camera.extent()
         ax.set_xlim(x0, x1)

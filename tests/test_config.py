@@ -11,8 +11,9 @@ CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
 
 
 @pytest.mark.parametrize("name", [
-    "grid_slam.yaml", "icp_test.yaml", "landmarks.yaml",
-    "neato_grid_slam.yaml", "neato_replay.yaml", "shape_test.yaml"])
+    "grid_slam.yaml", "grid_slam_fused.yaml", "icp_test.yaml",
+    "landmarks.yaml", "neato.yaml", "neato_grid_slam.yaml",
+    "neato_replay.yaml", "shape_test.yaml"])
 def test_presets_parse(name):
     cfg = load_config(CONFIG_DIR / name)
     assert cfg.nodes
@@ -20,9 +21,10 @@ def test_presets_parse(name):
 
 @pytest.mark.parametrize("name", [
     "grid_slam.yaml", "icp_test.yaml", "landmarks.yaml", "shape_test.yaml",
-    "neato_replay.yaml"])
+    "neato.yaml", "neato_replay.yaml"])
 def test_presets_instantiate(name):
-    # RobotConnection (neato_grid_slam) needs a live TCP server — skipped
+    # RobotConnection instantiates without connecting (connect() is the
+    # explicit live step), so the neato presets are safe to build
     cfg = load_config(CONFIG_DIR / name)
     nodes = cfg.instantiate_nodes(PubSub())
     assert len(nodes) == len(cfg.nodes)

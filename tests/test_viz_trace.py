@@ -75,6 +75,107 @@ def test_render_png(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+def _scan(angles, distances, valid):
+    import jax.numpy as jnp
+
+    from slamrs_tpu.core.types import Scan
+    n = len(angles)
+    return Scan(angles=jnp.asarray(angles, jnp.float32),
+                distances=jnp.asarray(distances, jnp.float32),
+                strengths=jnp.ones((n,), jnp.float32),
+                valid=jnp.asarray(valid, bool),
+                present=jnp.ones((n,), bool))
+
+
+def test_observation_viz_rays_and_invalid_red():
+    """visualize.rs:112-165: rays from the (constant-secondary) pose,
+    valid black / invalid red, plus filled endpoint markers."""
+    from slamrs_tpu.graph.nodes.viz import _TopicViz
+    from slamrs_tpu.graph.pubsub import PubSub
+    from slamrs_tpu.viz.shapes import ShapeRenderer
+
+    ps = PubSub()
+    tv = _TopicViz("Observation", {
+        "topic": "obs", "pose": [1.0, 2.0, 0.0],
+        "config": {"point_color": [0.0, 1.0, 0.0]}}, ps)
+    pub = ps.publish("obs")
+    pub.publish(_scan([0.0, np.pi / 2], [1.0, 0.5], [True, False]))
+    ps.tick()
+    tv.update()
+    sr = ShapeRenderer()
+    tv.emit(sr)
+    calls = sr.flush()
+    assert [c.primitive for c in calls] == [PrimitiveType.LINE,
+                                            PrimitiveType.FILLED]
+    lines = calls[0]
+    # 2 rays from the constant pose (1, 2)
+    np.testing.assert_allclose(lines.vertices[0], [1.0, 2.0])
+    np.testing.assert_allclose(lines.vertices[1], [2.0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(lines.colors[0], [0, 0, 0, 1])  # valid
+    np.testing.assert_allclose(lines.colors[2], [1, 0, 0, 1])  # invalid red
+    # endpoint markers: 2 filled rects = 12 verts, configured green
+    assert len(calls[1].vertices) == 12
+    np.testing.assert_allclose(calls[1].colors[0], [0, 1, 0, 1])
+
+
+def test_gridmap_viz_cell_field_and_gridlines():
+    """visualize.rs:243-283: one grayscale filled rect per cell; the
+    gridlines config draws the lattice."""
+    from slamrs_tpu.graph.node import GridMapMessage
+    from slamrs_tpu.graph.nodes.viz import _TopicViz
+    from slamrs_tpu.graph.pubsub import PubSub
+    from slamrs_tpu.viz.shapes import ShapeRenderer
+
+    ps = PubSub()
+    tv = _TopicViz("GridMap", {"topic": "map",
+                               "config": {"gridlines": True}}, ps)
+    pub = ps.publish("map")
+    data = np.array([[0.0, 1.0], [0.5, 0.25]], np.float32)
+    pub.publish(GridMapMessage(position=np.float32([-1, -1]),
+                               resolution=0.5, data=data))
+    ps.tick()
+    tv.update()
+    sr = ShapeRenderer()
+    tv.emit(sr)
+    calls = sr.flush()
+    assert calls[0].primitive == PrimitiveType.FILLED
+    assert len(calls[0].vertices) == 4 * 6  # 4 cells x 2 triangles
+    # cell (0, 1) has p=1.0 -> black; first vertex of its rect at (-0.5,-1)
+    np.testing.assert_allclose(calls[0].colors[6], [0, 0, 0, 1])
+    np.testing.assert_allclose(calls[0].vertices[6], [-0.5, -1.0])
+    assert calls[1].primitive == PrimitiveType.LINE
+    assert len(calls[1].vertices) == 2 * 4  # 2 vertical + 2 horizontal
+
+
+def test_visualizer_rejects_unknown_config_fields():
+    from slamrs_tpu.graph.nodes.viz import _TopicViz
+    from slamrs_tpu.graph.pubsub import PubSub
+
+    with pytest.raises(ValueError, match="unknown config"):
+        _TopicViz("Pose", {"topic": "p", "config": {"colour": [1, 0, 0]}},
+                  PubSub())
+
+
+def test_run_png_composes_scene_scan_pose_map(tmp_path):
+    """VERDICT r2 #6 done-check: a grid_slam run renders scene + scan +
+    pose + map into one PNG via the draw-hook composition."""
+    from slamrs_tpu.graph.app import App
+    from slamrs_tpu.viz.shapes import render_draw_calls
+
+    app = App.from_file("configs/grid_slam.yaml", with_renderer=True)
+    app.run(duration_s=1.2)  # one scan at the preset's 1.0 s period
+    calls = app.renderer.flush()
+    app.terminate()
+    prims = [c.primitive for c in calls]
+    assert PrimitiveType.LINE in prims  # scene segments + scan rays
+    assert PrimitiveType.FILLED in prims  # pose arrows + grid cells
+    # grid cell field present: one call has >= 200*200 cells * 6 verts
+    assert max(len(c.vertices) for c in calls) >= 200 * 200 * 6
+    out = tmp_path / "frame.png"
+    render_draw_calls(calls, str(out))
+    assert out.exists() and out.stat().st_size > 10_000
+
+
 def test_trace_spans():
     from slamrs_tpu.utils import trace
 
