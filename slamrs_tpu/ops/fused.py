@@ -297,26 +297,38 @@ def _params(pp_ref, i):
 
 def _kernel_resident(off_ref, pp_ref, table_ref, grid_in,
                      lik_ref, grid_out, *, wr, cols, num_beams,
-                     logical_rows, logical_cols):
-    i = pl.program_id(0)
-    r0 = pl.multiple_of(off_ref[i], 8)
-    w32 = grid_in[i, pl.ds(r0, wr), :].astype(jnp.float32)
-    params = _params(pp_ref, i)
-    lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cols,
-                        num_beams=num_beams, r0=r0,
-                        logical_rows=logical_rows,
-                        logical_cols=logical_cols)
-    out = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
-                     num_beams=num_beams, r0=r0,
-                     logical_rows=logical_rows,
-                     logical_cols=logical_cols)
-    lik_ref[i % 8, :] = jnp.full((128,), lik, jnp.float32)
-    grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
+                     logical_rows, logical_cols, ppb):
+    """``ppb`` particles per grid program (statically unrolled).
+
+    Per-program overhead is the measured bottleneck of this kernel, not
+    compute: with BOTH passes stubbed out, 1,024 single-particle
+    programs still cost ~354 us at the headline config (~0.35 us of
+    dispatch/bookkeeping each) while the entire likelihood+integrate
+    math adds only ~33 us.  Batching 8 particles per program cuts the
+    program count 8x; the unrolled bodies run back-to-back without
+    re-entering the grid loop."""
+    j = pl.program_id(0)
+    for k in range(ppb):
+        i = j * ppb + k
+        r0 = pl.multiple_of(off_ref[i], 8)
+        w32 = grid_in[i, pl.ds(r0, wr), :].astype(jnp.float32)
+        params = _params(pp_ref, i)
+        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cols,
+                            num_beams=num_beams, r0=r0,
+                            logical_rows=logical_rows,
+                            logical_cols=logical_cols)
+        out = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
+                         num_beams=num_beams, r0=r0,
+                         logical_rows=logical_rows,
+                         logical_cols=logical_cols)
+        lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
+                                                        jnp.float32)
+        grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
 
 
 def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref,
                          grid_in, lik_ref, grid_out, *, wr, cols, num_beams,
-                         logical_rows, logical_cols):
+                         logical_rows, logical_cols, ppb):
     """Deferred-resample variant: particle i continues lineage
     ``anc_ref[i]`` — the systematic-resample ancestor gather becomes an
     index indirection here instead of a separate whole-map ``jnp.take``
@@ -324,92 +336,107 @@ def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref,
     Reads ``grid_in[a]``, writes the full updated map to ``grid_out[i]``
     (separate buffers — racing in-place lineage copies would corrupt).
     The lineage copy is one whole-map vector copy; both an async-DMA copy
-    and split partial-band copies measured SLOWER (440 / 411 vs 395
-    us/step at the headline config — per-program DMA issue+wait doesn't
-    overlap across grid steps, and split stores defeat vectorization)."""
-    i = pl.program_id(0)
-    a = anc_ref[i]
-    r0 = pl.multiple_of(off_ref[i], 8)
-    w32 = grid_in[a, pl.ds(r0, wr), :].astype(jnp.float32)
-    params = _params(pp_ref, i)
-    lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cols,
-                        num_beams=num_beams, r0=r0,
-                        logical_rows=logical_rows,
-                        logical_cols=logical_cols)
-    out = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
-                     num_beams=num_beams, r0=r0,
-                     logical_rows=logical_rows,
-                     logical_cols=logical_cols)
-    lik_ref[i % 8, :] = jnp.full((128,), lik, jnp.float32)
-    grid_out[i] = grid_in[a]
-    grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
+    and split partial-band copies measured SLOWER at ppb=1 (440 / 411 vs
+    395 us/step — per-program DMA issue+wait doesn't overlap across grid
+    steps, and split stores defeat vectorization).  Batched like
+    :func:`_kernel_resident` (same measured per-program-overhead wall)."""
+    j = pl.program_id(0)
+    for k in range(ppb):
+        i = j * ppb + k
+        a = anc_ref[i]
+        r0 = pl.multiple_of(off_ref[i], 8)
+        w32 = grid_in[a, pl.ds(r0, wr), :].astype(jnp.float32)
+        params = _params(pp_ref, i)
+        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cols,
+                            num_beams=num_beams, r0=r0,
+                            logical_rows=logical_rows,
+                            logical_cols=logical_cols)
+        out = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
+                         num_beams=num_beams, r0=r0,
+                         logical_rows=logical_rows,
+                         logical_cols=logical_cols)
+        lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
+                                                        jnp.float32)
+        grid_out[i] = grid_in[a]
+        grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
 
 
 def _kernel_hbm(off_ref, coff_ref, pp_ref, table_ref, grid_in,
                 lik_ref, grid_out, win, sem_in, sem_out, *, wr, wc, num_beams,
-                logical_rows, logical_cols):
+                logical_rows, logical_cols, ppb):
     """HBM-grid variant: the per-particle window is BOTH row- and
     column-cropped ([wr, wc] with a 128-aligned column offset), so huge
     maps (config 3: 1000x1024 cells) move only the scan-disc
     neighborhood through HBM instead of full-width row bands.
 
-    Double-buffered: program i starts the window DMA for particle i+1
-    before computing on particle i, and the write-back DMA of particle i
-    is waited one program later — DMA latency (~us per transfer) overlaps
-    compute instead of serializing 2 round-trips per particle."""
-    i = pl.program_id(0)
+    ``ppb`` particles per program, double-buffered at PROGRAM
+    granularity: program j starts all ppb window DMAs for program j+1
+    before computing on its own batch.  At ppb=1 the kernel was
+    DMA-LATENCY bound, not bandwidth bound (stubbing out both compute
+    passes left step time unchanged at ~1.3 ms for 1,024 programs);
+    issuing ppb copies back-to-back overlaps their latencies on the DMA
+    engines and cuts the per-program bookkeeping 8x."""
+    j = pl.program_id(0)
     n = pl.num_programs(0)
-    slot = i % 2
+    slot = j % 2
 
-    def in_copy(j, s):
-        rj = pl.multiple_of(off_ref[j], 8)
-        cj = pl.multiple_of(coff_ref[j], 128)
+    def in_copy(jj, s, k):
+        p_idx = jj * ppb + k
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+        cj = pl.multiple_of(coff_ref[p_idx], 128)
         return pltpu.make_async_copy(
-            grid_in.at[j, pl.ds(rj, wr), pl.ds(cj, wc)], win.at[s],
-            sem_in.at[s])
+            grid_in.at[p_idx, pl.ds(rj, wr), pl.ds(cj, wc)], win.at[s, k],
+            sem_in.at[s, k])
 
-    def out_copy(j, s):
-        rj = pl.multiple_of(off_ref[j], 8)
-        cj = pl.multiple_of(coff_ref[j], 128)
+    def out_copy(jj, s, k):
+        p_idx = jj * ppb + k
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+        cj = pl.multiple_of(coff_ref[p_idx], 128)
         return pltpu.make_async_copy(
-            win.at[s], grid_out.at[j, pl.ds(rj, wr), pl.ds(cj, wc)],
-            sem_out.at[s])
+            win.at[s, k], grid_out.at[p_idx, pl.ds(rj, wr), pl.ds(cj, wc)],
+            sem_out.at[s, k])
 
-    @pl.when(i == 0)
+    @pl.when(j == 0)
     def _():
-        in_copy(0, 0).start()
+        for k in range(ppb):
+            in_copy(0, 0, k).start()
 
-    # slot (i+1)%2 was written back by program i-1; its out-DMA must land
-    # before the next in-DMA overwrites the buffer
-    @pl.when(i >= 1)
+    # slot (j+1)%2 was written back by program j-1; its out-DMAs must
+    # land before the next in-DMAs overwrite the buffers
+    @pl.when(j >= 1)
     def _():
-        out_copy(i - 1, (i - 1) % 2).wait()
+        for k in range(ppb):
+            out_copy(j - 1, (j - 1) % 2, k).wait()
 
-    @pl.when(i + 1 < n)
+    @pl.when(j + 1 < n)
     def _():
-        in_copy(i + 1, (i + 1) % 2).start()
+        for k in range(ppb):
+            in_copy(j + 1, (j + 1) % 2, k).start()
 
-    in_copy(i, slot).wait()
+    for k in range(ppb):
+        i = j * ppb + k
+        in_copy(j, slot, k).wait()
+        r0 = pl.multiple_of(off_ref[i], 8)
+        c0 = pl.multiple_of(coff_ref[i], 128)
+        w32 = win[slot, k].astype(jnp.float32)
+        params = _params(pp_ref, i)
+        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=wc,
+                            num_beams=num_beams, r0=r0,
+                            logical_rows=logical_rows,
+                            logical_cols=logical_cols, c0=c0)
+        out = _cell_pass(w32, params, table_ref, wr=wr, cols=wc,
+                         num_beams=num_beams, r0=r0,
+                         logical_rows=logical_rows,
+                         logical_cols=logical_cols, c0=c0)
+        lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
+                                                        jnp.float32)
+        win[slot, k] = out.astype(win.dtype)
+        out_copy(j, slot, k).start()
 
-    r0 = pl.multiple_of(off_ref[i], 8)
-    c0 = pl.multiple_of(coff_ref[i], 128)
-    w32 = win[slot].astype(jnp.float32)
-    params = _params(pp_ref, i)
-    lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=wc,
-                        num_beams=num_beams, r0=r0,
-                        logical_rows=logical_rows,
-                        logical_cols=logical_cols, c0=c0)
-    out = _cell_pass(w32, params, table_ref, wr=wr, cols=wc,
-                     num_beams=num_beams, r0=r0,
-                     logical_rows=logical_rows,
-                     logical_cols=logical_cols, c0=c0)
-    lik_ref[i % 8, :] = jnp.full((128,), lik, jnp.float32)
-    win[slot] = out.astype(win.dtype)
-    out_copy(i, slot).start()
-
-    @pl.when(i == n - 1)
+    @pl.when(j == n - 1)
     def _():
-        out_copy(i, slot).wait()
+        for k in range(ppb):
+            out_copy(j, slot, k).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "num_beams",
@@ -479,28 +506,34 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     table = encode_beam_table(distances / spec.resolution, valid, present,
                               angles0, dphi)
 
+    # particles per program: per-program dispatch overhead (~0.35 us
+    # resident, ~1.3 us with window DMAs) dominates this kernel's actual
+    # math — see _kernel_resident docstring.  8 divides every production
+    # particle count; odd counts fall back to one particle per program.
+    ppb = 8 if p % 8 == 0 else 1
+
     deferred = ancestors is not None
     if deferred:
         assert resident, "deferred ancestors require VMEM-resident grids"
         kernel = functools.partial(
             _kernel_resident_anc, wr=wr, cols=cols, num_beams=num_beams,
-            logical_rows=spec.rows, logical_cols=spec.cols)
+            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb)
     elif resident:
         kernel = functools.partial(
             _kernel_resident, wr=wr, cols=cols, num_beams=num_beams,
-            logical_rows=spec.rows, logical_cols=spec.cols)
+            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb)
     else:
         kernel = functools.partial(
             _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
-            logical_rows=spec.rows, logical_cols=spec.cols)
+            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb)
     space = pltpu.VMEM if resident else pltpu.ANY
     if deferred or resident:
         scratch = []
     else:
         scratch = [
-            pltpu.VMEM((2, wr, wc), grids.dtype),  # double-buffered windows
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, ppb, wr, wc), grids.dtype),  # double-buffered
+            pltpu.SemaphoreType.DMA((2, ppb)),
+            pltpu.SemaphoreType.DMA((2, ppb)),
         ]
 
     if deferred:
@@ -511,19 +544,25 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         prefetch = [r0, c0]
     n_grid_in = 2 + len(prefetch)  # index of grids among pallas inputs
 
+    if ppb == 8:
+        lik_spec = pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        lik_spec = pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
+                                memory_space=pltpu.VMEM)
+
     lik, grids_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
-            grid=(p,),
+            grid=(p // ppb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # pp [P, 8]
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # table [8, 512]
                 pl.BlockSpec(memory_space=space),        # grids
             ],
             out_specs=[
-                pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
-                             memory_space=pltpu.VMEM),   # lik rows
+                lik_spec,                                # lik rows
                 pl.BlockSpec(memory_space=space),        # grids out
             ],
             scratch_shapes=scratch,
