@@ -204,16 +204,21 @@ def _endpoint_lik(w32, params, table_ref, *, wr, cols, num_beams, r0,
         xi = jnp.where(use, xi, 0.0)
         yi = jnp.where(use, yi, 0.0)
 
-        xi_b = jnp.broadcast_to(xi, (wr, 128))
         yi_b = jnp.broadcast_to(yi, (wr, 128))
-        # column gather: [wr, 128] values w32[i, xi_b] for every row i
+        # column gather: [wr, 128] values w32[i, xi_b] for every row i.
+        # All index arithmetic runs at [1, 128] and only the RESULT is
+        # broadcast (f32 — i32 sublane broadcasts hit Mosaic's layout
+        # limitation); the chunk mask becomes a 0/1 multiply so nothing
+        # but the gather and one fma touch the [wr, 128] domain.
         g = jnp.zeros((wr, 128), jnp.float32)
         for k in range(cols // 128):
-            sub = jnp.clip(xi_b - k * 128, 0.0, 127.0).astype(jnp.int32)
+            subf = jnp.clip(xi - k * 128, 0.0, 127.0)
+            mf = ((xi >= k * 128) & (xi < (k + 1) * 128)).astype(
+                jnp.float32)
+            sub = jnp.broadcast_to(subf, (wr, 128)).astype(jnp.int32)
             part = jnp.take_along_axis(w32[:, k * 128:(k + 1) * 128],
                                        sub, axis=1)
-            g = jnp.where((xi_b >= k * 128) & (xi_b < (k + 1) * 128),
-                          part, g)
+            g = g + part * mf if cols > 128 else part
         # row select: one-hot sublane mask, reduce over rows
         hot = (jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 0).astype(
             jnp.float32) == yi_b)
@@ -361,9 +366,9 @@ def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref,
         grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
 
 
-def _kernel_hbm(off_ref, coff_ref, pp_ref, table_ref, grid_in,
+def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, table_ref, grid_in,
                 lik_ref, grid_out, win, sem_in, sem_out, *, wr, wc, num_beams,
-                logical_rows, logical_cols, ppb):
+                logical_rows, logical_cols, ppb, crop128):
     """HBM-grid variant: the per-particle window is BOTH row- and
     column-cropped ([wr, wc] with a 128-aligned column offset), so huge
     maps (config 3: 1000x1024 cells) move only the scan-disc
@@ -418,19 +423,37 @@ def _kernel_hbm(off_ref, coff_ref, pp_ref, table_ref, grid_in,
         in_copy(j, slot, k).wait()
         r0 = pl.multiple_of(off_ref[i], 8)
         c0 = pl.multiple_of(coff_ref[i], 128)
-        w32 = win[slot, k].astype(jnp.float32)
+        if crop128:
+            # compute on a robot-centered 128-lane view: roll the window
+            # left by u0 (dynamic lane roll — DMA offsets must stay
+            # 128-aligned, vector rolls need not; the rotate unit is
+            # 32-bit only, so convert bf16 up FIRST), run both ALU-bound
+            # passes on HALF the lanes, then roll back and merge
+            u0 = uoff_ref[i]
+            rolled = pltpu.roll(win[slot, k].astype(jnp.float32), -u0, 1)
+            w32 = rolled[:, :128]
+            cw = 128
+            ceff = c0 + u0
+        else:
+            w32 = win[slot, k].astype(jnp.float32)
+            cw = wc
+            ceff = c0
         params = _params(pp_ref, i)
-        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=wc,
+        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cw,
                             num_beams=num_beams, r0=r0,
                             logical_rows=logical_rows,
-                            logical_cols=logical_cols, c0=c0)
-        out = _cell_pass(w32, params, table_ref, wr=wr, cols=wc,
+                            logical_cols=logical_cols, c0=ceff)
+        out = _cell_pass(w32, params, table_ref, wr=wr, cols=cw,
                          num_beams=num_beams, r0=r0,
                          logical_rows=logical_rows,
-                         logical_cols=logical_cols, c0=c0)
+                         logical_cols=logical_cols, c0=ceff)
         lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
                                                         jnp.float32)
-        win[slot, k] = out.astype(win.dtype)
+        if crop128:
+            merged = jnp.concatenate([out, rolled[:, 128:]], axis=1)
+            win[slot, k] = pltpu.roll(merged, u0, 1).astype(win.dtype)
+        else:
+            win[slot, k] = out.astype(win.dtype)
         out_copy(j, slot, k).start()
 
     @pl.when(j == n - 1)
@@ -475,10 +498,17 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     dphi = jnp.asarray(dphi, jnp.float32)
     wr = window_rows(spec, max_range_m)
     wr = min(wr, rows - rows % 8 if rows % 8 else rows)
-    # HBM windows are column-cropped too: 2 aligned 128-col blocks cover
-    # any disc up to 128 cells wide (clamped at grid edges)
-    disc_half = wr // 2
+    # HBM windows are column-cropped too: DMA slices must start at
+    # 128-aligned columns (Mosaic tiling proof), so the window is 2
+    # aligned 128-col blocks covering any disc up to 128 cells wide.
+    # When the disc also fits 128 lanes WITH margin, the kernel computes
+    # on a dynamically ROLLED 128-lane view of that window (crop128) —
+    # the ALU-bound passes then touch half the lanes.
+    disc_half = (int(pymath.ceil(max_range_m / spec.resolution))
+                 + ADDITIONAL_STEPS + 1)
     wc = cols if (resident or cols <= 256 or disc_half > 64) else 256
+    crop128 = ((not resident) and wc >= 256
+               and 2 * disc_half + 1 + 8 <= 128)
 
     pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
     cxy = (poses[:, 0:2] - pos) / spec.resolution
@@ -502,6 +532,10 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     blk = ccol // 128
     c0 = (blk - jnp.where(ccol % 128 < 64, 1, 0)) * 128
     c0 = jnp.clip(c0, 0, max(cols - wc, 0))
+    # crop128: in-window column of the robot-centered 128-lane compute
+    # view (the kernel rolls the window left by u0 and computes on
+    # lanes [0, 128) = grid columns [c0+u0, c0+u0+128))
+    u0 = jnp.clip(ccol - c0 - 64, 0, wc - 128)
 
     table = encode_beam_table(distances / spec.resolution, valid, present,
                               angles0, dphi)
@@ -525,7 +559,8 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     else:
         kernel = functools.partial(
             _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
-            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb)
+            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
+            crop128=crop128)
     space = pltpu.VMEM if resident else pltpu.ANY
     if deferred or resident:
         scratch = []
@@ -541,7 +576,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     elif resident:
         prefetch = [r0]
     else:
-        prefetch = [r0, c0]
+        prefetch = [r0, c0, u0]
     n_grid_in = 2 + len(prefetch)  # index of grids among pallas inputs
 
     if ppb == 8:

@@ -158,6 +158,37 @@ def test_likelihood_rank_correlation_gate():
     assert rel.max() < 0.35, f"max N_eff rel err {rel.max()}"
 
 
+def test_hbm_column_crop_matches_oracle():
+    """resident=False with cols > 128: the 8-aligned 128-lane column
+    crop (the compute-halving window) must reproduce the full-width
+    oracle exactly, including poses near the grid edges where c0
+    clamps."""
+    spec = GridSpec2D(-2.56, -2.56, 5.12, 5.12, 0.02)  # 256 x 256 cells
+    p = 4
+    grids = jax.random.normal(jax.random.key(11), (p, 256, 256),
+                              jnp.float32) * 0.5
+    grids = grids.at[:, ::3, ::2].set(0.0)
+    # one interior pose, one near each x-edge (c0 clamps to 0 / cols-wc)
+    poses = jnp.array([[0.1, -0.2, 0.3],
+                       [-2.2, 0.0, 1.2],
+                       [2.2, 0.3, -0.7],
+                       [0.0, 2.2, 2.0]], jnp.float32)
+    dist = jax.random.uniform(jax.random.key(12), (B,), jnp.float32,
+                              0.1, 1.0)
+    valid = jax.random.bernoulli(jax.random.key(13), 0.8, (B,))
+    present = jnp.ones((B,), bool)
+    a0 = jnp.float32(0.0)
+    g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
+                          spec, B, 1.0, resident=False, interpret=True)
+    g2, l2 = fused_update_reference(grids, poses, a0, dist, valid, present,
+                                    spec, B, 1.0)
+    diff = np.abs(np.asarray(g1) - np.asarray(g2))
+    frac = float((diff > 0.01).mean())
+    assert frac < 1e-4, f"bin-flip fraction {frac}"
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_gridslam_update_fused_runs():
     cfg = gs.GridSlamConfig(position_x=-2, position_y=-2, width=4.0,
                             height=4.0, resolution=0.05, n_particles=8,
