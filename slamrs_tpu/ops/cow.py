@@ -61,10 +61,12 @@ def cow_plan(ancestors: Array) -> tuple[Array, Array, Array]:
     # copy j's source: the ancestor whose extra-children range covers j
     src = jnp.searchsorted(bounds, j, side="right").astype(jnp.int32)
     src = jnp.clip(src, 0, p - 1)
-    # copy j's destination: the j-th freed slot (ascending)
+    # copy j's destination: the j-th freed slot (ascending) — rank via
+    # cumsum + scatter (an argsort here costs tens of us per scan)
     is_free = counts == 0
-    free_sorted = jnp.argsort(
-        jnp.where(is_free, 0, 1), stable=True).astype(jnp.int32)
+    rank = jnp.cumsum(is_free) - 1
+    free_sorted = jnp.zeros((p,), jnp.int32).at[
+        jnp.where(is_free, rank, p)].set(j, mode="drop")
     # padding: a guaranteed-survivor slot (ancestors[0] has >= 1 child),
     # self-write — never collides with a real copy's freed dst slot
     pad = ancestors[..., 0]
@@ -74,7 +76,13 @@ def cow_plan(ancestors: Array) -> tuple[Array, Array, Array]:
     return src, dst, n_copies
 
 
-def _kernel_cow(nc_ref, src_ref, dst_ref, grid_in, grid_out, sem):
+def _kernel_cow(nc_ref, src_ref, dst_ref, grid_in, grid_out, sem, *,
+                ppb, total):
+    """``ppb`` copy slots per program: per-program dispatch costs
+    ~0.3 us, so one program per potential copy made even a zero-copy
+    resample (identity plan after an N_eff skip) cost ~300 us at 1,024
+    particles; batched, the empty-plan kernel is ~40 programs of
+    predicated no-ops."""
     j = pl.program_id(0)
     n = pl.num_programs(0)
     nc = nc_ref[0]
@@ -84,20 +92,22 @@ def _kernel_cow(nc_ref, src_ref, dst_ref, grid_in, grid_out, sem):
             grid_in.at[src_ref[k]], grid_out.at[dst_ref[k]],
             sem.at[k % _DEPTH])
 
-    # wait for the copy whose semaphore slot this program reuses
-    @pl.when((j >= _DEPTH) & (j - _DEPTH < nc))
-    def _():
-        copy(j - _DEPTH).wait()
+    for t in range(ppb):
+        idx = j * ppb + t
+        # wait for the copy whose semaphore slot this one reuses
+        @pl.when((idx >= _DEPTH) & (idx - _DEPTH < nc))
+        def _():
+            copy(idx - _DEPTH).wait()
 
-    @pl.when(j < nc)
-    def _():
-        copy(j).start()
+        @pl.when(idx < nc)
+        def _():
+            copy(idx).start()
 
     # drain the tail
     @pl.when(j == n - 1)
     def _():
         for k in range(_DEPTH):
-            jj = n - _DEPTH + k
+            jj = total - _DEPTH + k
             if jj >= 0:
                 @pl.when(jj < nc)
                 def _():
@@ -111,12 +121,13 @@ def cow_copy(grids: Array, src: Array, dst: Array, n_copies: Array,
     for ``j < n_copies``.  grids [P, H, W] (any dtype), aliased in/out —
     only the duplicated maps move through memory."""
     p = grids.shape[0]
+    ppb = 8 if p % 8 == 0 else 1
     nc = jnp.reshape(n_copies, (1,)).astype(jnp.int32)
     return pl.pallas_call(
-        _kernel_cow,
+        functools.partial(_kernel_cow, ppb=ppb, total=p),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # nc, src, dst
-            grid=(p,),
+            grid=(p // ppb,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((_DEPTH,))],

@@ -105,6 +105,18 @@ def encode_beam_table(distances_cells: Array, valid: Array,
     enc = jnp.where(valid & present & (d == 0.0), jnp.float32(1e-6), enc)
     pad = jnp.full((_BEAM_PAD - b,), -0.0, jnp.float32)
     row = jnp.concatenate([enc.astype(jnp.float32), pad])
+    if dphi is not None:
+        # wrap lane: cells within half a bin of closing the full circle
+        # round to this lane — writing beam 0's value here lets the cell
+        # pass drop its per-cell wrap/absent selects entirely (the
+        # gather resolves wrap; absent bins land on -0.0 padding).
+        # Requires round(2*pi/dphi) < 384 (the gather range): true for
+        # every producer (1-degree tables -> 360); finer spacings would
+        # silently treat wrap cells as absent.
+        wrap_idx = jnp.clip(jnp.round(2.0 * pymath.pi / dphi).astype(
+            jnp.int32), 0, _BEAM_PAD - 1)
+        row = jnp.where(jnp.arange(_BEAM_PAD) == jnp.maximum(wrap_idx, b),
+                        row[0], row)
     if angles0 is None:
         return jnp.broadcast_to(row[None, :], (8, _BEAM_PAD))
     lane = jnp.arange(_BEAM_PAD, dtype=jnp.float32)
@@ -243,7 +255,7 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     logical_rows/cols: cells beyond these are padding — never updated
     (parity with the reference's grid-bounds checks, map.rs:93-97).
     """
-    cx, cy, theta, a0, _ct, _st, dphi, inv_dphi = params
+    cx, cy, _theta, ta, _ct, _st, dphi, inv_dphi = params
     half = TOLERANCE_CELLS / 2.0
     two_pi = 2.0 * pymath.pi
 
@@ -259,20 +271,15 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     r = jnp.sqrt(r2)
 
     phi = _atan2(dy, dx)
-    # angular bin honoring the scan's true spacing: wrap in ANGLE space
-    # (one full circle), then cells rounding past the last beam either
-    # wrap to beam 0 (full-circle tables) or are ABSENT (partial-sector
-    # tables) — routed to a padding lane of the beam table (-0.0 = absent)
-    rel = phi - theta - a0
+    # angular bin honoring the scan's true spacing, wrapped in ANGLE
+    # space (one full circle).  ``ta`` is theta + angles0 pre-folded.
+    # Cells rounding past the last beam need NO per-cell select: the
+    # wrap lane of the beam table (round(2*pi/dphi), encode_beam_table)
+    # carries beam 0's value and partial-sector ABSENT bins land on
+    # -0.0 padding lanes — the gather itself resolves both cases.
+    rel = phi - ta
     rel = rel - two_pi * jnp.floor(rel * (1.0 / two_pi))
-    t = rel * inv_dphi
-    bins_f = jnp.round(t)
-    nb2pi = two_pi * inv_dphi
-    wrap = bins_f >= nb2pi - 0.5
-    absent = (bins_f > num_beams - 1) & (~wrap)
-    bins_f = jnp.where(wrap, 0.0, bins_f)
-    bins_f = jnp.where(absent, float(num_beams), bins_f)
-    bins = bins_f.astype(jnp.int32)
+    bins = jnp.round(rel * inv_dphi).astype(jnp.int32)
 
     d_enc = _gather_beam(table_ref, bins, wr, cols)
     was_hit = d_enc > 0.0
@@ -513,8 +520,11 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
     cxy = (poses[:, 0:2] - pos) / spec.resolution
     theta = poses[:, 2]
+    # slot 3 carries theta + angles0 pre-folded (the cell pass's only
+    # use of either); slots 4/5 are the two per-particle transcendentals
     pp = jnp.stack([cxy[:, 0], cxy[:, 1], theta,
-                    jnp.broadcast_to(angles0, (p,)).astype(jnp.float32),
+                    theta + jnp.broadcast_to(
+                        angles0, (p,)).astype(jnp.float32),
                     jnp.cos(theta), jnp.sin(theta),
                     jnp.broadcast_to(dphi, (p,)),
                     jnp.broadcast_to(1.0 / dphi, (p,))],
