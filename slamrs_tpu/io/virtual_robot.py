@@ -122,8 +122,21 @@ class VirtualRobot:
     wheel_base: float = 0.2  # host-side constant (connection.rs:25)
 
     def __post_init__(self):
+        from slamrs_tpu.io.peripherals import (Heartbeat, LedStatus,
+                                               MotorDriver, Pca9685)
+
         self.connected = False
         self.neato_on = False
+        # board peripherals: the status LED's 10 Hz task shares the
+        # control-loop cadence (heartbeat.rs runs its own 10 Hz loop);
+        # wheel commands go through the register-level PCA9685 motor
+        # driver exactly like main.rs:393-394 (M1 right, M0 left)
+        self.led = Heartbeat()
+        self._led_status_cls = LedStatus
+        self.pca = Pca9685()
+        driver = MotorDriver(self.pca)
+        self._motor_left = driver.motor(0)
+        self._motor_right = driver.motor(1)
         self.downsampling = 2
         self.target_left = 0  # steps/s (int, like the shared resources)
         self.target_right = 0
@@ -150,10 +163,12 @@ class VirtualRobot:
 
     def connect(self) -> None:
         self.connected = True  # Event::Connected (main.rs:499-502)
+        self.led.set_status(self._led_status_cls.blinking("green", "fast"))
 
     def disconnect(self) -> None:
         self.connected = False  # Event::Disconnected stops the lidar
         self.neato_on = False  # (main.rs:503-507)
+        self.led.set_status(self._led_status_cls.blinking("green", "slow"))
 
     def handle_command(self, msg: CommandMessage) -> None:
         """event_loop command dispatch (main.rs:508-540)."""
@@ -225,8 +240,13 @@ class VirtualRobot:
             pwm_l = 0
         if abs(pwm_r) < DEADBAND:
             pwm_r = 0
-        self._speed_l = pwm_l * self.plant_gain
-        self._speed_r = pwm_r * self.plant_gain
+        # drive the PCA9685 registers and let the plant read the command
+        # back out of them (direction pins + 12-bit duty, motor.rs)
+        self._motor_left.set_speed_signed(pwm_l)
+        self._motor_right.set_speed_signed(pwm_r)
+        self._speed_l = self._motor_left.signed_speed * self.plant_gain
+        self._speed_r = self._motor_right.signed_speed * self.plant_gain
+        self.led.tick()  # heartbeat.rs shares the 10 Hz cadence
 
     def _lidar_rev(self) -> None:
         """tasks/neato.rs:70-129: one revolution ingested."""
