@@ -65,6 +65,24 @@ def test_cow_resample_matches_take_multiset():
             assert any(np.allclose(op[o], cp[i]) for o in owner)
 
 
+def test_cow_resample_peaked_weights_staged_groups():
+    """Degenerate resample (1-2 survivors): copy groups far larger than
+    the staged-write window — exercises the stage fetch, slot-reuse
+    waits and group/final drains of the staged kernel."""
+    p = 64
+    poses = jax.random.normal(jax.random.key(4), (p, 3), jnp.float32)
+    grids = jax.random.normal(jax.random.key(5), (p, 8, 128), jnp.float32)
+    for w in (jnp.zeros((p,)).at[7].set(1.0),                     # 1 group
+              jnp.zeros((p,)).at[3].set(0.6).at[40].set(0.4)):    # 2 groups
+        anc = systematic_resample(jax.random.key(6), w)
+        take_poses = jnp.take(poses, anc, axis=0)
+        take_grids = jnp.take(grids, anc, axis=0)
+        cow_poses, cow_grids = cow_resample(grids, poses, anc,
+                                            interpret=True)
+        assert _multiset(take_poses, take_grids) == \
+            _multiset(cow_poses, cow_grids)
+
+
 def test_cow_resample_identity_noop():
     p = 8
     poses = jax.random.normal(jax.random.key(1), (p, 3), jnp.float32)
