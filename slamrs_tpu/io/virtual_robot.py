@@ -296,8 +296,11 @@ class VirtualRobot:
 
 class VirtualRobotServer:
     """Serve a VirtualRobot over a ConnectionMedium (socketpair in tests,
-    a real TCP listener for interactive use) — the ESP32 bridge role
-    (firmware/src/tasks/esp.rs)."""
+    a real TCP listener for interactive use) — the transport-bridge role
+    of BOTH firmware bridges: the ESP32 TCP task (tasks/esp.rs) and the
+    USB-CDC task (tasks/usb.rs, whose observable behavior is byte
+    bridging of the same RobotMessage stream plus DTR-driven
+    Connected/Disconnected events — here the server start/close)."""
 
     def __init__(self, robot: VirtualRobot, medium, realtime: bool = False,
                  dt: float = 0.05):

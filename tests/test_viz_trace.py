@@ -176,6 +176,53 @@ def test_run_png_composes_scene_scan_pose_map(tmp_path):
     assert out.exists() and out.stat().st_size > 10_000
 
 
+def test_framebuffer_renderer():
+    """Software GL-pipeline counterpart (graphics/src/{gl,shader}.rs):
+    world->pixel transform + point/line/triangle rasterization."""
+    from slamrs_tpu.viz.framebuffer import render, save_png
+    from slamrs_tpu.viz.shapes import Camera, ShapeRenderer
+
+    sr = ShapeRenderer()
+    sr.begin(PrimitiveType.FILLED)
+    sr.rect(-2.0, -2.0, 4.0, 4.0, Color.RED)  # 2 triangles
+    sr.end()
+    sr.begin(PrimitiveType.LINE)
+    sr.line(-4.0, 0.0, 4.0, 0.0, Color.BLUE)
+    sr.end()
+    sr.begin(PrimitiveType.POINT)
+    sr.point(0.0, 2.4, Color.BLACK)
+    sr.end()
+    cam = Camera(100, 100)  # 10-unit viewport -> 10 px per world unit
+    fb = render(sr.flush(), cam, width=100, height=100)
+    assert fb.shape == (100, 100, 4)
+    # inside the red rect (off the line row)
+    np.testing.assert_array_equal(fb[45, 50, :3], [255, 0, 0])
+    # the blue line drew after the rect: overdraws along y=0 (row 50)
+    np.testing.assert_array_equal(fb[50, 15, :3], [0, 0, 255])
+    np.testing.assert_array_equal(fb[50, 50, :3], [0, 0, 255])
+    # corners: background white
+    np.testing.assert_array_equal(fb[2, 2, :3], [255, 255, 255])
+    # the point at world (0, 2.4) -> pixel (50, 26)
+    np.testing.assert_array_equal(fb[26, 50, :3], [0, 0, 0])
+    # rect edges: world x=-2 -> px 30; inside red at 31, white at 28
+    np.testing.assert_array_equal(fb[40, 31, :3], [255, 0, 0])
+    np.testing.assert_array_equal(fb[40, 28, :3], [255, 255, 255])
+
+
+def test_framebuffer_png_roundtrip(tmp_path):
+    from slamrs_tpu.viz.framebuffer import render, save_png
+    from slamrs_tpu.viz.shapes import Camera, ShapeRenderer
+
+    sr = ShapeRenderer()
+    sr.begin(PrimitiveType.FILLED)
+    sr.circle(0, 0, 1.0, Color.GREEN)
+    sr.end()
+    fb = render(sr.flush(), Camera(64, 64), width=64, height=64)
+    out = tmp_path / "fb.png"
+    save_png(fb, str(out))
+    assert out.exists() and out.stat().st_size > 100
+
+
 def test_trace_spans():
     from slamrs_tpu.utils import trace
 
