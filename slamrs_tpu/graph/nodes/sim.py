@@ -131,10 +131,9 @@ class SimulatorNode(Node):
         if self.config.draw_scene:
             segs = np.asarray(self.scene.segments, np.float32)
             mask = np.asarray(self.scene.segment_mask, bool)
-            v = segs[mask].reshape(-1, 2, 2).reshape(-1, 2)
             viz.sr.begin(PrimitiveType.LINE)
-            viz.sr._emit_batch(
-                v, np.broadcast_to(np.float32([0, 0, 0, 1]), (len(v), 4)))
+            viz.sr.lines_batch(segs[mask].reshape(-1, 2, 2),
+                               np.float32([0, 0, 0, 1]))
             viz.sr.end()
         if self.config.draw_pose:
             x, y, th = (float(p) for p in self.get_pose())

@@ -151,16 +151,16 @@ class _TopicViz:
         c = self.config
         if c["draw_lines"]:
             n = int(keep.sum())
-            v = np.empty((2 * n, 2), np.float32)
-            v[0::2, 0] = ox
-            v[0::2, 1] = oy
-            v[1::2, 0] = ex[keep]
-            v[1::2, 1] = ey[keep]
+            segs = np.empty((n, 2, 2), np.float32)
+            segs[:, 0, 0] = ox
+            segs[:, 0, 1] = oy
+            segs[:, 1, 0] = ex[keep]
+            segs[:, 1, 1] = ey[keep]
             cols = np.where(valid[keep][:, None],
                             np.float32([0, 0, 0, 1]),
                             np.float32([1, 0, 0, 1]))
             sr.begin(PrimitiveType.LINE)
-            sr._emit_batch(v, np.repeat(cols, 2, axis=0))
+            sr.lines_batch(segs, cols)
             sr.end()
         s = c["size"]
         pts = np.stack([ex[keep] - s / 2.0, ey[keep] - s / 2.0], -1)

@@ -134,6 +134,28 @@ class GridSlamOutputs(NamedTuple):
     resampled: Array  # bool[...]
 
 
+def _weigh_and_select(log_lik: Array, log_motion: Array,
+                      prev_weights: Array, k_resample: Array,
+                      frac: float, p: int):
+    """The filter's weighting + selection policy for ONE world (vmap for
+    fleets) — the single definition both update() and update_fleet()
+    use: SIS weight carry (constant-shift-equivalent to the reference's
+    always-resample when the gate fires every step, persistent when the
+    N_eff gate skips), normalization, argmax, N_eff, and the gated
+    systematic resample with identity ancestors on skip
+    (slam.rs:62-75 + particle.rs:37-105)."""
+    log_w = jnp.log(prev_weights) + log_lik + log_motion
+    weights = _resample.normalize_log_weights(log_w)
+    best_idx = jnp.argmax(weights, axis=-1).astype(jnp.int32)
+    n_eff = _resample.effective_particles(weights)
+    do_resample = n_eff <= frac * p
+    ancestors = _resample.systematic_resample(k_resample, weights)
+    identity = jnp.arange(p, dtype=jnp.int32)
+    ancestors = jnp.where(do_resample, ancestors, identity)
+    weights = jnp.where(do_resample, jnp.full((p,), 1.0 / p), weights)
+    return weights, ancestors, best_idx, n_eff, do_resample
+
+
 def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
            key: Array, config: GridSlamConfig
            ) -> tuple[GridSlamState, GridSlamOutputs]:
@@ -157,19 +179,15 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     # path does both in one Pallas VMEM pass; the others are separate ops.
     deferred = False
     if config.integrate == "fused":
-        from slamrs_tpu.ops.fused import fused_update
+        from slamrs_tpu.ops.fused import fits_vmem_resident, fused_update
 
         interpret = jax.default_backend() == "cpu"
-        # VMEM residency needs room for grids in AND out (Mosaic's scoped
-        # accounting counts both even under input_output_aliases); larger
-        # sets stream HBM windows.  VMEM is ~128 MB on this v5e.
         grid_bytes = (state.grids.size
                       * jnp.dtype(state.grids.dtype).itemsize)
-        budget = 120 * 1024 * 1024
         if config.fused_resident is not None:
             resident = config.fused_resident
         else:
-            resident = 2 * grid_bytes + 8 * 2**20 <= budget
+            resident = fits_vmem_resident(grid_bytes)
         deferred = resident
         nb = scan.angles.shape[-1]
         dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb > 1
@@ -198,30 +216,15 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     log_motion = motion.log_prob(state.poses, new_poses,
                                  odometry.distance_left,
                                  odometry.distance_right, odometry.wheel_base)
-    # accumulate onto the carried weights: after a resample they are
-    # uniform (a constant shift the normalization removes — exactly the
-    # reference's always-resample behavior, slam.rs:74), but when the
-    # N_eff gate SKIPS resampling the previous weights must persist or
-    # the filter forgets particle degeneracy (standard SIS weighting)
-    log_w = jnp.log(state.weights) + log_lik + log_motion
 
-    # 4) normalize, argmax (particle.rs:37-56)
-    weights = _resample.normalize_log_weights(log_w)
-    best_idx = jnp.argmax(weights, axis=-1).astype(jnp.int32)
+    # 4-5) weighting + gated systematic resample (_weigh_and_select);
+    # the grid gather applies below per formulation (deferred / CoW /
+    # whole-set take behind a cond)
+    weights, ancestors, best_idx, n_eff, do_resample = _weigh_and_select(
+        log_lik, log_motion, state.weights, k_resample,
+        config.resample_neff_frac, p)
     best_pose = new_poses[best_idx]
-    n_eff = _resample.effective_particles(weights)
-
-    # 5) systematic resample via ancestor gather (particle.rs:78-105).
-    # The grid gather moves the whole particle-map set; behind a real
-    # lax.cond it costs nothing on the (common, N_eff-gated) skip path.
-    # Under vmap the cond degrades to a select, which is the best one can
-    # do with per-world predicates anyway.
-    do_resample = n_eff <= config.resample_neff_frac * p
-    ancestors = _resample.systematic_resample(k_resample, weights)
     identity = jnp.arange(p, dtype=jnp.int32)
-    ancestors = jnp.where(do_resample, ancestors, identity)
-
-    weights = jnp.where(do_resample, jnp.full((p,), 1.0 / p), weights)
     use_cow = (config.integrate == "fused" and not deferred
                and (config.resample_cow
                     if config.resample_cow is not None else True))
@@ -277,6 +280,10 @@ def update_fleet(state: GridSlamState, scan: Scan,
     resampling, whole-set gather (no CoW — slot relabeling is per-call).
     """
     if config.integrate != "fused" or mesh is None:
+        if config.integrate == "fused":
+            # CoW's copy kernel is per-call (scalar prefetch) — NOT
+            # vmappable; batched fleets must keep the gather resample
+            config = dataclasses.replace(config, resample_cow=False)
         upd = lambda st, sc, od, k: update(st, sc, od, k, config)
         return jax.vmap(upd)(state, scan, odometry, keys)
 
@@ -303,23 +310,18 @@ def update_fleet(state: GridSlamState, scan: Scan,
     log_motion = jax.vmap(motion.log_prob)(
         state.poses, new_poses, odometry.distance_left,
         odometry.distance_right, odometry.wheel_base)
-    log_w = jnp.log(state.weights) + log_lik + log_motion
 
-    weights = jax.vmap(_resample.normalize_log_weights)(log_w)
-    best_idx = jnp.argmax(weights, axis=-1).astype(jnp.int32)
+    weights, ancestors, best_idx, n_eff, do_resample = jax.vmap(
+        _weigh_and_select, in_axes=(0, 0, 0, 0, None, None))(
+            log_lik, log_motion, state.weights, k_resample,
+            config.resample_neff_frac, p)
     best_pose = jnp.take_along_axis(
         new_poses, best_idx[:, None, None], axis=1)[:, 0]
-    n_eff = jax.vmap(_resample.effective_particles)(weights)
-
-    do_resample = n_eff <= config.resample_neff_frac * p
-    ancestors = jax.vmap(_resample.systematic_resample)(k_resample, weights)
-    identity = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32),
-                                ancestors.shape)
-    ancestors = jnp.where(do_resample[:, None], ancestors, identity)
-    weights = jnp.where(do_resample[:, None], 1.0 / p, weights)
 
     new_poses = jnp.take_along_axis(new_poses, ancestors[:, :, None], axis=1)
     grids = jnp.take_along_axis(grids, ancestors[:, :, None, None], axis=1)
+    identity = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32),
+                                ancestors.shape)
 
     new_state = GridSlamState(
         poses=new_poses, grids=grids, weights=weights,

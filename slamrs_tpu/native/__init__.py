@@ -107,18 +107,26 @@ class _WireNative:
         lib.wire_encode_command.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, u8p]
-        # reused output buffers for the robot-link hot path (the reader
-        # thread is the only caller; results are copied out per frame)
+        # reused output buffers for the robot-link hot path; wire_native
+        # is a module singleton, so a lock serializes concurrent readers
+        # (e.g. two RobotConnection threads) against the shared buffers
+        import threading
+
         self._scans_buf = None
         self._odo_buf = None
         self._rpm_buf = None
         self._buf_frames = 0
+        self._buf_lock = threading.Lock()
 
     def decode_scan_frames(self, data: bytes, max_frames: int = 64):
         """Returns ([(scan_bytes, (ol, or), rpm), ...], consumed)."""
         import numpy as np
 
         buf = np.frombuffer(data, np.uint8)
+        with self._buf_lock:
+            return self._decode_locked(np, buf, max_frames)
+
+    def _decode_locked(self, np, buf, max_frames):
         if max_frames > self._buf_frames:
             self._scans_buf = np.zeros((max_frames, 1980), np.uint8)
             self._odo_buf = np.zeros((max_frames, 2), np.float32)

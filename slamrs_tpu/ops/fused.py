@@ -76,6 +76,15 @@ Array = jnp.ndarray
 _BEAM_PAD = 512  # beam table lanes (360 -> 3 gather chunks of 128 + pad)
 
 
+def fits_vmem_resident(grid_bytes: int) -> bool:
+    """THE residency heuristic (single definition — callers must not
+    re-derive it): Mosaic's scoped-vmem accounting counts the aliased
+    grids in AND out, so residency needs 2x the array plus pipeline
+    slack inside this v5e's ~128 MB VMEM (budget kept under it; the
+    limit must stay TIGHT, see fused_update's compiler_params note)."""
+    return 2 * grid_bytes + 8 * 2**20 <= 120 * 1024 * 1024
+
+
 def window_rows(spec: GridSpec2D, max_range_m: float) -> int:
     """Static window row count: scan disc + 8-row alignment slack."""
     disc = 2 * (int(pymath.ceil(max_range_m / spec.resolution))
@@ -105,18 +114,6 @@ def encode_beam_table(distances_cells: Array, valid: Array,
     enc = jnp.where(valid & present & (d == 0.0), jnp.float32(1e-6), enc)
     pad = jnp.full((_BEAM_PAD - b,), -0.0, jnp.float32)
     row = jnp.concatenate([enc.astype(jnp.float32), pad])
-    if dphi is not None:
-        # wrap lane: cells within half a bin of closing the full circle
-        # round to this lane — writing beam 0's value here lets the cell
-        # pass drop its per-cell wrap/absent selects entirely (the
-        # gather resolves wrap; absent bins land on -0.0 padding).
-        # Requires round(2*pi/dphi) < 384 (the gather range): true for
-        # every producer (1-degree tables -> 360); finer spacings would
-        # silently treat wrap cells as absent.
-        wrap_idx = jnp.clip(jnp.round(2.0 * pymath.pi / dphi).astype(
-            jnp.int32), 0, _BEAM_PAD - 1)
-        row = jnp.where(jnp.arange(_BEAM_PAD) == jnp.maximum(wrap_idx, b),
-                        row[0], row)
     if angles0 is None:
         return jnp.broadcast_to(row[None, :], (8, _BEAM_PAD))
     lane = jnp.arange(_BEAM_PAD, dtype=jnp.float32)
@@ -273,13 +270,15 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     phi = _atan2(dy, dx)
     # angular bin honoring the scan's true spacing, wrapped in ANGLE
     # space (one full circle).  ``ta`` is theta + angles0 pre-folded.
-    # Cells rounding past the last beam need NO per-cell select: the
-    # wrap lane of the beam table (round(2*pi/dphi), encode_beam_table)
-    # carries beam 0's value and partial-sector ABSENT bins land on
-    # -0.0 padding lanes — the gather itself resolves both cases.
+    # One select maps cells within half a bin of closing the circle to
+    # beam 0 (valid for ANY dphi, unlike a table wrap lane which only
+    # reaches gather range < 384); partial-sector ABSENT bins land on
+    # -0.0 padding lanes, resolved by the gather itself.
     rel = phi - ta
     rel = rel - two_pi * jnp.floor(rel * (1.0 / two_pi))
-    bins = jnp.round(rel * inv_dphi).astype(jnp.int32)
+    bins_f = jnp.round(rel * inv_dphi)
+    bins_f = jnp.where(bins_f >= two_pi * inv_dphi - 0.5, 0.0, bins_f)
+    bins = bins_f.astype(jnp.int32)
 
     d_enc = _gather_beam(table_ref, bins, wr, cols)
     was_hit = d_enc > 0.0

@@ -47,13 +47,13 @@ def fused_update_batched(grids: Array, poses: Array, angles0: Array,
     the same vmapped call runs under ``shard_map`` on each device's
     local (world, particle) block.  Returns (grids', log_lik [W, P]).
     """
-    from slamrs_tpu.ops.fused import fused_update
+    from slamrs_tpu.ops.fused import fits_vmem_resident, fused_update
 
     def run_block(g, q, a0, d, v, pr, dp):
         # residency from the TRUE stacked block size (under shard_map the
         # block is the per-device shard; unsharded it is the whole fleet)
-        bytes_all = g.size * jnp.dtype(g.dtype).itemsize
-        resident = 2 * bytes_all + 8 * 2**20 <= 120 * 1024 * 1024
+        resident = fits_vmem_resident(
+            g.size * jnp.dtype(g.dtype).itemsize)
         f = functools.partial(fused_update, spec=spec, num_beams=num_beams,
                               max_range_m=max_range_m, resident=resident,
                               interpret=interpret)

@@ -180,6 +180,20 @@ class ShapeRenderer:
         for a, b in ((tip, left), (left, right), (right, tip)):
             self.line(*a, *b, color)
 
+    def lines_batch(self, segments: np.ndarray, colors: np.ndarray) -> None:
+        """Vectorized line segments: segments f32[N, 2, 2] (endpoint
+        pairs), colors f32[N, 4] or one RGBA row — the dense-emitter
+        form of :meth:`line` (scene geometry, scan-ray fans)."""
+        segments = np.asarray(segments, np.float32)
+        n = len(segments)
+        if n == 0:
+            return
+        colors = np.asarray(colors, np.float32)
+        if colors.ndim == 1:
+            colors = np.broadcast_to(colors, (n, 4))
+        self._emit_batch(segments.reshape(-1, 2),
+                         np.repeat(colors, 2, axis=0))
+
     def rects_batch(self, xy: np.ndarray, w: float, h: float,
                     colors: np.ndarray) -> None:
         """Vectorized axis-aligned rect field (one rect per ``xy`` row,
