@@ -306,9 +306,56 @@ def _params(pp_ref, i):
             pp_ref[i, 4], pp_ref[i, 5], pp_ref[i, 6], pp_ref[i, 7])
 
 
-def _kernel_resident(off_ref, pp_ref, table_ref, grid_in,
-                     lik_ref, grid_out, *, wr, cols, num_beams,
-                     logical_rows, logical_cols, ppb):
+def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
+                   table_ref, lik_ref, k, *, wr, cols, wc, num_beams,
+                   logical_rows, logical_cols, ppb, crop128):
+    """One particle of the resident kernels: window slice (optionally
+    column-sliced to ``wc`` at a 128-aligned offset and further rolled
+    to a robot-centered 128-lane compute view, like the HBM variant),
+    both passes, merged write-back."""
+    r0 = pl.multiple_of(off_ref[i], 8)
+    if wc == cols:
+        w = src[pl.ds(r0, wr), :]
+        c0 = None
+    else:
+        c0 = pl.multiple_of(coff_ref[i], 128)
+        w = src[pl.ds(r0, wr), pl.ds(c0, wc)]
+    if crop128:
+        u0 = uoff_ref[i]
+        rolled = pltpu.roll(w.astype(jnp.float32), -u0, 1)
+        w32 = rolled[:, :128]
+        cw = 128
+        ceff = u0 if c0 is None else c0 + u0
+    else:
+        w32 = w.astype(jnp.float32)
+        cw = wc
+        ceff = c0
+    params = _params(pp_ref, i)
+    lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cw,
+                        num_beams=num_beams, r0=r0,
+                        logical_rows=logical_rows,
+                        logical_cols=logical_cols, c0=ceff)
+    out = _cell_pass(w32, params, table_ref, wr=wr, cols=cw,
+                     num_beams=num_beams, r0=r0,
+                     logical_rows=logical_rows,
+                     logical_cols=logical_cols, c0=ceff)
+    lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
+                                                    jnp.float32)
+    if crop128:
+        merged = pltpu.roll(
+            jnp.concatenate([out, rolled[:, 128:]], axis=1), u0, 1
+        ).astype(dst.dtype)
+    else:
+        merged = out.astype(dst.dtype)
+    if wc == cols:
+        dst[pl.ds(r0, wr), :] = merged
+    else:
+        dst[pl.ds(r0, wr), pl.ds(c0, wc)] = merged
+
+
+def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
+                     grid_in, lik_ref, grid_out, *, wr, cols, wc, num_beams,
+                     logical_rows, logical_cols, ppb, crop128):
     """``ppb`` particles per grid program (statically unrolled).
 
     Per-program overhead is the measured bottleneck of this kernel, not
@@ -321,25 +368,18 @@ def _kernel_resident(off_ref, pp_ref, table_ref, grid_in,
     j = pl.program_id(0)
     for k in range(ppb):
         i = j * ppb + k
-        r0 = pl.multiple_of(off_ref[i], 8)
-        w32 = grid_in[i, pl.ds(r0, wr), :].astype(jnp.float32)
-        params = _params(pp_ref, i)
-        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cols,
-                            num_beams=num_beams, r0=r0,
-                            logical_rows=logical_rows,
-                            logical_cols=logical_cols)
-        out = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
-                         num_beams=num_beams, r0=r0,
-                         logical_rows=logical_rows,
-                         logical_cols=logical_cols)
-        lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
-                                                        jnp.float32)
-        grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
+        _resident_body(grid_in.at[i], grid_out.at[i], i, off_ref, coff_ref,
+                       uoff_ref, pp_ref, table_ref, lik_ref, k, wr=wr,
+                       cols=cols, wc=wc, num_beams=num_beams,
+                       logical_rows=logical_rows,
+                       logical_cols=logical_cols, ppb=ppb,
+                       crop128=crop128)
 
 
-def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref,
-                         grid_in, lik_ref, grid_out, *, wr, cols, num_beams,
-                         logical_rows, logical_cols, ppb):
+def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
+                         table_ref, grid_in, lik_ref, grid_out, *, wr,
+                         cols, wc, num_beams, logical_rows, logical_cols,
+                         ppb, crop128):
     """Deferred-resample variant: particle i continues lineage
     ``anc_ref[i]`` — the systematic-resample ancestor gather becomes an
     index indirection here instead of a separate whole-map ``jnp.take``
@@ -355,21 +395,13 @@ def _kernel_resident_anc(anc_ref, off_ref, pp_ref, table_ref,
     for k in range(ppb):
         i = j * ppb + k
         a = anc_ref[i]
-        r0 = pl.multiple_of(off_ref[i], 8)
-        w32 = grid_in[a, pl.ds(r0, wr), :].astype(jnp.float32)
-        params = _params(pp_ref, i)
-        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cols,
-                            num_beams=num_beams, r0=r0,
-                            logical_rows=logical_rows,
-                            logical_cols=logical_cols)
-        out = _cell_pass(w32, params, table_ref, wr=wr, cols=cols,
-                         num_beams=num_beams, r0=r0,
-                         logical_rows=logical_rows,
-                         logical_cols=logical_cols)
-        lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
-                                                        jnp.float32)
         grid_out[i] = grid_in[a]
-        grid_out[i, pl.ds(r0, wr), :] = out.astype(grid_out.dtype)
+        _resident_body(grid_in.at[a], grid_out.at[i], i, off_ref, coff_ref,
+                       uoff_ref, pp_ref, table_ref, lik_ref, k, wr=wr,
+                       cols=cols, wc=wc, num_beams=num_beams,
+                       logical_rows=logical_rows,
+                       logical_cols=logical_cols, ppb=ppb,
+                       crop128=crop128)
 
 
 def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, table_ref, grid_in,
@@ -512,9 +544,8 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     # the ALU-bound passes then touch half the lanes.
     disc_half = (int(pymath.ceil(max_range_m / spec.resolution))
                  + ADDITIONAL_STEPS + 1)
-    wc = cols if (resident or cols <= 256 or disc_half > 64) else 256
-    crop128 = ((not resident) and wc >= 256
-               and 2 * disc_half + 1 + 8 <= 128)
+    wc = cols if (cols <= 256 or disc_half > 64) else 256
+    crop128 = wc >= 256 and 2 * disc_half + 1 + 8 <= 128
 
     pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
     cxy = (poses[:, 0:2] - pos) / spec.resolution
@@ -559,12 +590,14 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     if deferred:
         assert resident, "deferred ancestors require VMEM-resident grids"
         kernel = functools.partial(
-            _kernel_resident_anc, wr=wr, cols=cols, num_beams=num_beams,
-            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb)
+            _kernel_resident_anc, wr=wr, cols=cols, wc=wc,
+            num_beams=num_beams, logical_rows=spec.rows,
+            logical_cols=spec.cols, ppb=ppb, crop128=crop128)
     elif resident:
         kernel = functools.partial(
-            _kernel_resident, wr=wr, cols=cols, num_beams=num_beams,
-            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb)
+            _kernel_resident, wr=wr, cols=cols, wc=wc,
+            num_beams=num_beams, logical_rows=spec.rows,
+            logical_cols=spec.cols, ppb=ppb, crop128=crop128)
     else:
         kernel = functools.partial(
             _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
@@ -581,9 +614,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         ]
 
     if deferred:
-        prefetch = [ancestors.astype(jnp.int32), r0]
-    elif resident:
-        prefetch = [r0]
+        prefetch = [ancestors.astype(jnp.int32), r0, c0, u0]
     else:
         prefetch = [r0, c0, u0]
     n_grid_in = 2 + len(prefetch)  # index of grids among pallas inputs

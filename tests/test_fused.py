@@ -189,6 +189,39 @@ def test_hbm_column_crop_matches_oracle():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_resident_column_crop_matches_oracle():
+    """resident=True with cols > 256 (config-2-class grids): the
+    column-sliced + rolled 128-lane compute view must reproduce the
+    full-width oracle, including the deferred-ancestor variant."""
+    spec = GridSpec2D(-8.0, -8.0, 16.0, 16.0, 0.05)  # 320x320 -> 384 pad
+    p = 4
+    cols = (spec.cols + 127) // 128 * 128
+    grids = jax.random.normal(jax.random.key(21), (p, spec.rows, cols),
+                              jnp.float32) * 0.5
+    grids = grids.at[:, ::3, ::2].set(0.0)
+    poses = jnp.array([[0.1, -0.2, 0.3],
+                       [-7.2, 0.0, 1.2],
+                       [7.2, 0.3, -0.7],
+                       [0.0, 7.2, 2.0]], jnp.float32)
+    dist = jax.random.uniform(jax.random.key(22), (B,), jnp.float32,
+                              0.1, 1.0)
+    valid = jax.random.bernoulli(jax.random.key(23), 0.8, (B,))
+    present = jnp.ones((B,), bool)
+    a0 = jnp.float32(0.0)
+    for anc in (None, jnp.array([2, 2, 0, 1], jnp.int32)):
+        g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
+                              spec, B, 1.0, resident=True, interpret=True,
+                              ancestors=anc)
+        base = grids if anc is None else jnp.take(grids, anc, axis=0)
+        g2, l2 = fused_update_reference(base, poses, a0, dist, valid,
+                                        present, spec, B, 1.0)
+        diff = np.abs(np.asarray(g1) - np.asarray(g2))
+        frac = float((diff > 0.01).mean())
+        assert frac < 1e-4, f"bin-flip fraction {frac} (anc={anc})"
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_gridslam_update_fused_runs():
     cfg = gs.GridSlamConfig(position_x=-2, position_y=-2, width=4.0,
                             height=4.0, resolution=0.05, n_particles=8,
