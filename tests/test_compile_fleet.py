@@ -189,6 +189,38 @@ def test_fleet_fused_sharded():
     assert np.isfinite(np.asarray(outs_s.n_eff)).all()
 
 
+def test_update_fleet_fallback_avoids_cow_under_vmap():
+    """Code-review regression: update_fleet's mesh=None fallback on a
+    fused-HBM config must not route the (per-call, non-vmappable) CoW
+    copy kernel through vmap — it forces the gather resample."""
+    import jax.numpy as jnp
+
+    from slamrs_tpu.core.types import OdometryReading, Scan
+    from slamrs_tpu.models import gridslam as gs
+
+    W, B = 2, 64
+    cfg = gs.GridSlamConfig(position_x=-2, position_y=-2, width=4.0,
+                            height=4.0, resolution=0.05, n_particles=8,
+                            max_scan_range=1.0, integrate="fused",
+                            resample_neff_frac=1.0,  # force resampling
+                            fused_resident=False)   # HBM -> CoW eligible
+    state = gs.GridSlamState.init(cfg, (W,))
+    angles = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.float32) * (2 * np.pi / B), (W, B))
+    scan = Scan(angles=angles,
+                distances=jnp.full((W, B), 0.8, jnp.float32),
+                strengths=jnp.ones((W, B), jnp.float32),
+                valid=jnp.ones((W, B), bool),
+                present=jnp.ones((W, B), bool))
+    odo = OdometryReading(jnp.full((W,), 0.01, jnp.float32),
+                          jnp.full((W,), 0.012, jnp.float32),
+                          jnp.full((W,), 0.1, jnp.float32))
+    keys = jax.random.split(jax.random.key(2), W)
+    state, outs = gs.update_fleet(state, scan, odo, keys, cfg, mesh=None)
+    assert bool(np.asarray(outs.resampled).all())
+    assert np.isfinite(np.asarray(outs.n_eff)).all()
+
+
 def test_fused_preset_selects_kernel_path():
     """configs/grid_slam_fused.yaml: the YAML config surface reaches the
     fused-kernel options (integrate/resample_neff_frac/grid_dtype) and
