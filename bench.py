@@ -35,11 +35,17 @@ TARGET = 10_000.0
 
 
 def _marginal(make_run, state, n1, n2, reps=3):
-    """Marginal seconds/step between two jitted scan lengths."""
+    """Marginal seconds/step between two jitted scan lengths.
+
+    MEDIAN of the per-rep differences, not min: a single anomalously
+    slow short run makes (tb - ta) too small, and min-of-reps AMPLIFIES
+    that into a 2x+ too-fast reading (observed 41.8k vs a stable
+    ~17.5k headline through the tunnel); the median is robust to one
+    outlier on either side."""
     r1, r2 = make_run(n1), make_run(n2)
     float(r1(state, jax.random.key(1)))
     float(r2(state, jax.random.key(1)))
-    best = float("inf")
+    diffs = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(r1(state, jax.random.key(2)))
@@ -47,14 +53,15 @@ def _marginal(make_run, state, n1, n2, reps=3):
         t0 = time.perf_counter()
         float(r2(state, jax.random.key(2)))
         tb = time.perf_counter() - t0
-        best = min(best, (tb - ta) / (n2 - n1))
-    return max(best, 1e-9)
+        diffs.append((tb - ta) / (n2 - n1))
+    diffs.sort()
+    return max(diffs[len(diffs) // 2], 1e-9)
 
 
 def bench_grid_slam(particles=1024, width=4.0, resolution=0.05,
                     num_beams=360, update_period=0.2, neff=0.5,
                     integrate="fused", grid_dtype="bfloat16",
-                    n1=50, n2=2050):
+                    n1=50, n2=2050, reps=3):
     from slamrs_tpu.core.types import Command
     from slamrs_tpu.graph.compile import make_fused
     from slamrs_tpu.models.gridslam import GridSlamConfig
@@ -84,7 +91,7 @@ def bench_grid_slam(particles=1024, width=4.0, resolution=0.05,
                     + c.pose[0])
         return run
 
-    dt = _marginal(make_run, state, n1, n2)
+    dt = _marginal(make_run, state, n1, n2, reps=reps)
     return 1.0 / dt
 
 
@@ -172,8 +179,9 @@ def main() -> None:
 
     # ---- headline (bf16 log-odds grids: identical map quality to f32
     # vs the DDA oracle — 5.2 mm pose RMSE, 94.8% cell agreement — at
-    # half the VMEM traffic; see tests/test_path_deviation.py) --------
-    headline = bench_grid_slam()
+    # half the VMEM traffic; see tests/test_path_deviation.py).  Extra
+    # reps: the tunnel occasionally produces one wild reading ----------
+    headline = bench_grid_slam(reps=5)
     note("grid_slam_ticks_per_s_ref_cadence_1024p_0.05m", headline,
          "ticks/s")
 
