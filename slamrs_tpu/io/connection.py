@@ -170,7 +170,14 @@ class RobotLink:
 
     def _run(self) -> None:
         while not self._stop.is_set():
-            chunk = self.medium.read(4096)
+            try:
+                chunk = self.medium.read(4096)
+            except OSError:
+                # peer reset / closed socket: the reference's reader
+                # treats stream errors as a disconnect (connection.rs
+                # read-loop Err arm) — end the thread cleanly; the node
+                # observes the dead thread and returns to idle
+                return
             if chunk:
                 self._buf.extend(chunk)
                 self._drain()
