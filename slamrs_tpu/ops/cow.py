@@ -203,8 +203,8 @@ def cow_copy(grids: Array, src: Array, dst: Array, n_copies: Array,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=5,  # nc, src, dst, fresh, gs
                 grid=(p // ppb,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
                 scratch_shapes=[
                     pltpu.VMEM((rows, cols), grids.dtype),  # stage
                     pltpu.SemaphoreType.DMA,
@@ -221,8 +221,8 @@ def cow_copy(grids: Array, src: Array, dst: Array, n_copies: Array,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # nc, src, dst
             grid=(p // ppb,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((_DEPTH,))],
         ),
         out_shape=jax.ShapeDtypeStruct(grids.shape, grids.dtype),

@@ -603,7 +603,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
             logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
             crop128=crop128)
-    space = pltpu.VMEM if resident else pltpu.ANY
+    space = pltpu.VMEM if resident else pl.ANY
     if deferred or resident:
         scratch = []
     else:
