@@ -176,11 +176,13 @@ def test_checkpoint_roundtrip_and_resume():
         np.testing.assert_array_equal(np.asarray(f1.grid.grids),
                                       np.asarray(f2.grid.grids))
 
-        # config mismatch is rejected
+        # config mismatch: the treedef difference warns loudly, the leaf
+        # count check rejects
         import pytest
         other = make_fused(params=SimParams.make(update_period=0.2),
                            grid_config=None, num_beams=60)
-        with pytest.raises(ValueError):
+        with pytest.warns(UserWarning, match="pytree structure"), \
+                pytest.raises(ValueError):
             ckpt.load(path, other.init())
 
 
