@@ -110,9 +110,10 @@ def cmd_robot(args):
 
                 def read(self, n):
                     try:
-                        return self.sock.recv(n)
+                        data = self.sock.recv(n)
                     except socket.timeout:
                         return b""
+                    return data if data else None  # b'' == EOF
 
                 def write(self, data):
                     # frames must not be cut mid-message when the host

@@ -24,9 +24,15 @@ DEFAULT_DOWNSAMPLING = 2  # connection.rs:253
 
 
 class ConnectionMedium:
-    """Transport seam (connection.rs:322-338)."""
+    """Transport seam (connection.rs:322-338).
 
-    def read(self, n: int) -> bytes:
+    ``read`` contract: ``b""`` means a read timeout (keep polling);
+    ``None`` means END OF STREAM (peer closed cleanly) — the reader
+    treats it like a stream error and disconnects, matching the
+    reference where a clean close surfaces as an UnexpectedEof decode
+    error in the read loop."""
+
+    def read(self, n: int) -> Optional[bytes]:
         raise NotImplementedError
 
     def write(self, data: bytes) -> None:
@@ -41,11 +47,12 @@ class TcpMedium(ConnectionMedium):
         self.sock = socket.create_connection((host, port), timeout=5.0)
         self.sock.settimeout(timeout)  # 200 ms read timeout (connection.rs:291)
 
-    def read(self, n: int) -> bytes:
+    def read(self, n: int) -> Optional[bytes]:
         try:
-            return self.sock.recv(n)
+            data = self.sock.recv(n)
         except socket.timeout:
             return b""
+        return data if data else None  # recv() == b'' is EOF
 
     def write(self, data: bytes) -> None:
         self.sock.sendall(data)
@@ -97,7 +104,7 @@ class SerialMedium(ConnectionMedium):
         termios.tcsetattr(self.fd, termios.TCSANOW,
                           [iflag, oflag, cflag, lflag, rate, rate, cc])
 
-    def read(self, n: int) -> bytes:
+    def read(self, n: int) -> Optional[bytes]:
         import os as _os
         import select
 
@@ -105,9 +112,10 @@ class SerialMedium(ConnectionMedium):
         if not r:
             return b""  # timeout -> not an error (connection.rs:291-293)
         try:
-            return _os.read(self.fd, n)
+            data = _os.read(self.fd, n)
         except BlockingIOError:
             return b""
+        return data if data else None  # readable-but-empty fd is EOF
 
     def write(self, data: bytes) -> None:
         import os as _os
@@ -178,6 +186,8 @@ class RobotLink:
                 # read-loop Err arm) — end the thread cleanly; the node
                 # observes the dead thread and returns to idle
                 return
+            if chunk is None:
+                return  # clean EOF (peer closed) -> same disconnect path
             if chunk:
                 self._buf.extend(chunk)
                 self._drain()

@@ -320,6 +320,9 @@ class VirtualRobotServer:
         while not self._stop.is_set():
             t0 = _time.monotonic()
             data = self.medium.read(4096)
+            if data is None:
+                self._stop.set()  # host closed -> stop serving
+                break
             if data:
                 self._buf.extend(data)
                 self._dispatch()

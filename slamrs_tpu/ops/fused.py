@@ -306,28 +306,23 @@ def _params(pp_ref, i):
             pp_ref[i, 4], pp_ref[i, 5], pp_ref[i, 6], pp_ref[i, 7])
 
 
-def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
-                   table_ref, lik_ref, k, *, wr, cols, wc, num_beams,
-                   logical_rows, logical_cols, ppb, crop128):
-    """One particle of the resident kernels: window slice (optionally
-    column-sliced to ``wc`` at a 128-aligned offset and further rolled
-    to a robot-centered 128-lane compute view, like the HBM variant),
-    both passes, merged write-back."""
-    r0 = pl.multiple_of(off_ref[i], 8)
-    if wc == cols:
-        w = src[pl.ds(r0, wr), :]
-        c0 = None
-    else:
-        c0 = pl.multiple_of(coff_ref[i], 128)
-        w = src[pl.ds(r0, wr), pl.ds(c0, wc)]
+def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
+                    table_ref, lik_ref, *, wr, wc, num_beams,
+                    logical_rows, logical_cols, ppb, crop128):
+    """THE per-particle compute on a [wr, wc] window pair (shared by the
+    resident kernels' sliced map views and the HBM kernel's DMA'd
+    scratch window): optional roll to a robot-centered 128-lane view,
+    both passes, per-particle likelihood row, merged write-back.
+    ``c0`` is the window's grid-column offset (None when the window
+    spans the full column axis)."""
     if crop128:
         u0 = uoff_ref[i]
-        rolled = pltpu.roll(w.astype(jnp.float32), -u0, 1)
+        rolled = pltpu.roll(w_in[...].astype(jnp.float32), -u0, 1)
         w32 = rolled[:, :128]
         cw = 128
         ceff = u0 if c0 is None else c0 + u0
     else:
-        w32 = w.astype(jnp.float32)
+        w32 = w_in[...].astype(jnp.float32)
         cw = wc
         ceff = c0
     params = _params(pp_ref, i)
@@ -342,15 +337,31 @@ def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
     lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
                                                     jnp.float32)
     if crop128:
-        merged = pltpu.roll(
+        w_out[...] = pltpu.roll(
             jnp.concatenate([out, rolled[:, 128:]], axis=1), u0, 1
-        ).astype(dst.dtype)
+        ).astype(w_out.dtype)
     else:
-        merged = out.astype(dst.dtype)
+        w_out[...] = out.astype(w_out.dtype)
+
+
+def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
+                   table_ref, lik_ref, k, *, wr, cols, wc, num_beams,
+                   logical_rows, logical_cols, ppb, crop128):
+    """One particle of the resident kernels: slice the [wr, wc] window
+    views out of the (VMEM-resident) maps and run the shared compute."""
+    r0 = pl.multiple_of(off_ref[i], 8)
     if wc == cols:
-        dst[pl.ds(r0, wr), :] = merged
+        c0 = None
+        w_in = src.at[pl.ds(r0, wr), :]
+        w_out = dst.at[pl.ds(r0, wr), :]
     else:
-        dst[pl.ds(r0, wr), pl.ds(c0, wc)] = merged
+        c0 = pl.multiple_of(coff_ref[i], 128)
+        w_in = src.at[pl.ds(r0, wr), pl.ds(c0, wc)]
+        w_out = dst.at[pl.ds(r0, wr), pl.ds(c0, wc)]
+    _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
+                    table_ref, lik_ref, wr=wr, wc=wc, num_beams=num_beams,
+                    logical_rows=logical_rows, logical_cols=logical_cols,
+                    ppb=ppb, crop128=crop128)
 
 
 def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
@@ -461,37 +472,15 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, table_ref, grid_in,
         in_copy(j, slot, k).wait()
         r0 = pl.multiple_of(off_ref[i], 8)
         c0 = pl.multiple_of(coff_ref[i], 128)
-        if crop128:
-            # compute on a robot-centered 128-lane view: roll the window
-            # left by u0 (dynamic lane roll — DMA offsets must stay
-            # 128-aligned, vector rolls need not; the rotate unit is
-            # 32-bit only, so convert bf16 up FIRST), run both ALU-bound
-            # passes on HALF the lanes, then roll back and merge
-            u0 = uoff_ref[i]
-            rolled = pltpu.roll(win[slot, k].astype(jnp.float32), -u0, 1)
-            w32 = rolled[:, :128]
-            cw = 128
-            ceff = c0 + u0
-        else:
-            w32 = win[slot, k].astype(jnp.float32)
-            cw = wc
-            ceff = c0
-        params = _params(pp_ref, i)
-        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cw,
-                            num_beams=num_beams, r0=r0,
-                            logical_rows=logical_rows,
-                            logical_cols=logical_cols, c0=ceff)
-        out = _cell_pass(w32, params, table_ref, wr=wr, cols=cw,
-                         num_beams=num_beams, r0=r0,
-                         logical_rows=logical_rows,
-                         logical_cols=logical_cols, c0=ceff)
-        lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
-                                                        jnp.float32)
-        if crop128:
-            merged = jnp.concatenate([out, rolled[:, 128:]], axis=1)
-            win[slot, k] = pltpu.roll(merged, u0, 1).astype(win.dtype)
-        else:
-            win[slot, k] = out.astype(win.dtype)
+        # the shared window compute (optionally rolled to a 128-lane
+        # robot-centered view — DMA offsets must stay 128-aligned,
+        # vector rolls need not) runs in the DMA'd scratch in place
+        _window_compute(win.at[slot, k], win.at[slot, k], i, k, r0, c0,
+                        uoff_ref, pp_ref, table_ref, lik_ref, wr=wr,
+                        wc=wc, num_beams=num_beams,
+                        logical_rows=logical_rows,
+                        logical_cols=logical_cols, ppb=ppb,
+                        crop128=crop128)
         out_copy(j, slot, k).start()
 
     @pl.when(j == n - 1)

@@ -63,6 +63,27 @@ def test_handshake_and_scan_stream():
     assert medium.closed
 
 
+def test_reader_thread_exits_on_clean_eof():
+    """Review regression: an orderly peer close (read() -> None) must end
+    the reader thread like a stream error does — previously b'' from a
+    closed socket was indistinguishable from a timeout and the thread
+    spun forever, so the node never returned to idle."""
+
+    class EofMedium(ConnectionMedium):
+        def __init__(self):
+            self.writes = []
+
+        def read(self, n):
+            return None  # EOF immediately
+
+        def write(self, data):
+            self.writes.append(bytes(data))
+
+    link = RobotLink(EofMedium(), lambda *a: None)
+    link._thread.join(timeout=2.0)
+    assert not link._thread.is_alive()
+
+
 def test_drive_forwarding():
     medium = FakeMedium(b"")
     link = RobotLink(medium, lambda *a: None)

@@ -208,16 +208,22 @@ def test_resident_column_crop_matches_oracle():
     valid = jax.random.bernoulli(jax.random.key(23), 0.8, (B,))
     present = jnp.ones((B,), bool)
     a0 = jnp.float32(0.0)
-    for anc in (None, jnp.array([2, 2, 0, 1], jnp.int32)):
+    # max_range 1.0 -> crop128; max_range 3.0 -> disc_half 63: wc=256
+    # column slice WITHOUT the 128-lane roll (the crop128=False sliced
+    # branch) — both must match the full-width oracle
+    for max_range, anc in ((1.0, None),
+                           (1.0, jnp.array([2, 2, 0, 1], jnp.int32)),
+                           (3.0, None)):
         g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
-                              spec, B, 1.0, resident=True, interpret=True,
-                              ancestors=anc)
+                              spec, B, max_range, resident=True,
+                              interpret=True, ancestors=anc)
         base = grids if anc is None else jnp.take(grids, anc, axis=0)
         g2, l2 = fused_update_reference(base, poses, a0, dist, valid,
-                                        present, spec, B, 1.0)
+                                        present, spec, B, max_range)
         diff = np.abs(np.asarray(g1) - np.asarray(g2))
         frac = float((diff > 0.01).mean())
-        assert frac < 1e-4, f"bin-flip fraction {frac} (anc={anc})"
+        assert frac < 1e-4, \
+            f"bin-flip fraction {frac} (range={max_range} anc={anc})"
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    rtol=1e-5, atol=1e-4)
 

@@ -83,9 +83,10 @@ class _SockMedium(ConnectionMedium):
 
     def read(self, n):
         try:
-            return self.sock.recv(n)
+            data = self.sock.recv(n)
         except socket.timeout:
             return b""
+        return data if data else None  # b'' == EOF
 
     def write(self, data):
         self.sock.sendall(data)
