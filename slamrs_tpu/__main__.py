@@ -22,7 +22,22 @@ def cmd_run(args):
 
     app = App.from_file(args.config, realtime=args.realtime,
                         with_renderer=bool(args.png))
+    teleop = None
+    if getattr(args, "teleop", False):
+        from slamrs_tpu.graph.nodes.util import ControlsNode
+        from slamrs_tpu.io.teleop import StdinTeleop
+
+        controls = app.node(ControlsNode)
+        if controls is None:
+            print("--teleop: config has no !Controls node", file=sys.stderr)
+        else:
+            teleop = StdinTeleop(controls.set_command,
+                                 target_speed=controls.config.max_speed)
+            print("teleop: WASD/arrows drive, space stops, Q quits",
+                  file=sys.stderr)
     app.run(duration_s=args.duration)
+    if teleop is not None:
+        teleop.stop()
     print(f"ran {args.duration}s of sim time; frame {app.frame_stats}")
     viz = app.node(VisualizerNode)
     if args.png and app.renderer is not None:
@@ -91,6 +106,21 @@ def cmd_robot(args):
     scene = sim_model.Scene.build(
         rects=[(-2.0, -2.0, 4.0, 4.0), (-0.1, -0.4, 0.5, 0.1)],
         lines=[(-0.6, -0.4, 0.2, 0.4)])
+    if args.cdc:
+        # USB-CDC bridge (tasks/usb.rs): serve over a pty; the host
+        # opens the printed path as `serial:` in a !RobotConnection
+        from slamrs_tpu.io.virtual_robot import UsbCdcServer
+
+        server = UsbCdcServer(VirtualRobot(scene=scene, scanner_range=5.0),
+                              realtime=True)
+        print(f"virtual robot (USB-CDC) at {server.path}", file=sys.stderr)
+        try:
+            server._thread.join()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.close()
+        return
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((args.host, args.port))
@@ -168,6 +198,9 @@ def main(argv=None):
     r.add_argument("config")
     r.add_argument("--duration", type=float, default=10.0)
     r.add_argument("--realtime", action="store_true")
+    r.add_argument("--teleop", action="store_true",
+                   help="drive the !Controls node from the keyboard "
+                        "(WASD/arrows; implies an interactive terminal)")
     r.add_argument("--png")
     r.add_argument("--npz")
     r.set_defaults(fn=cmd_run)
@@ -182,9 +215,13 @@ def main(argv=None):
     ro.add_argument("--resume", help="resume from a .npz checkpoint")
     ro.set_defaults(fn=cmd_rollout)
 
-    vr = sub.add_parser("robot", help="serve a virtual robot over TCP")
+    vr = sub.add_parser("robot", help="serve a virtual robot over TCP "
+                                      "(or a pty with --cdc)")
     vr.add_argument("--host", default="0.0.0.0")
     vr.add_argument("--port", type=int, default=8080)
+    vr.add_argument("--cdc", action="store_true",
+                    help="serve over a pty (the USB-CDC bridge analog, "
+                         "tasks/usb.rs); prints the tty path")
     vr.set_defaults(fn=cmd_robot)
 
     rp = sub.add_parser("replay", help="parse a recorded Neato .bin log")

@@ -114,6 +114,20 @@ class RobotConnectionNode(Node):
         ConnectionState, connection.rs:40-47, 135-139)."""
         return "running" if self._link is not None else "idle"
 
+    def set_motor_pi_params(self, kp: float, ki: float) -> None:
+        """Live PI-gain mutation on the RUNNING link — the reference's
+        kp/ki sliders (connection.rs:151-180) sending
+        ``CommandMessage::SetMotorPiParams`` to the firmware."""
+        if self._link is None:
+            raise RuntimeError("not connected")
+        self._link.set_motor_pi_params(float(kp), float(ki))
+
+    def set_neato(self, on: bool) -> None:
+        """Lidar motor on/off toggle (same UI block, connection.rs:151-180)."""
+        if self._link is None:
+            raise RuntimeError("not connected")
+        self._link.set_neato(bool(on))
+
     def update(self) -> None:
         pending, self._pending = self._pending, []
         for msg in pending:

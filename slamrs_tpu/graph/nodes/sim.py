@@ -87,9 +87,13 @@ class SimulatorNode(Node):
         self.pub_pose = (pubsub.publish(config.topic_pose, PoseMsg)
                          if config.topic_pose else None)
         self.cmd = Command.make()
+        # params enter as a jit ARGUMENT (not a closure constant): the
+        # SimParams leaves are traced scalars, so set_parameters() takes
+        # effect on the very next tick without recompiling — the
+        # reference's live sliders (simulator/src/lib.rs:133-140)
         self._tick = jax.jit(
-            lambda state, cmd, key: sim_model.tick(
-                state, cmd, key, self.params, self.scene, self.dt))
+            lambda state, cmd, key, params: sim_model.tick(
+                state, cmd, key, params, self.scene, self.dt))
 
     def advance(self, wall_dt: float) -> None:
         """Fixed-timestep accumulator (lib.rs:274-299)."""
@@ -105,7 +109,7 @@ class SimulatorNode(Node):
         if cmd is not None:
             self.cmd = cmd
         self.key, sub = jax.random.split(self.key)
-        self.state, out = self._tick(self.state, self.cmd, sub)
+        self.state, out = self._tick(self.state, self.cmd, sub, self.params)
         if bool(out.fired):
             if self.pub_pose:
                 self.pub_pose.publish(PoseMsg(np.asarray(out.pose)))
@@ -119,6 +123,21 @@ class SimulatorNode(Node):
         # App calls advance() with frame time; update() is a no-op hook kept
         # for Node parity (the reference ticks from draw(), lib.rs:123).
         pass
+
+    def set_parameters(self, **kwargs) -> None:
+        """Mutate simulator parameters on the RUNNING node — the
+        reference's live UI sliders (simulator/src/lib.rs:133-140:
+        update_period, scanner range, uncertainties + the running
+        checkbox).  Params are traced jit arguments, so the change takes
+        effect on the next tick with NO recompile (asserted by
+        tests/test_live_params.py via the jit cache size)."""
+        if "running" in kwargs:
+            self.running = bool(kwargs.pop("running"))
+        unknown = set(kwargs) - set(sim_model.SimParams._fields)
+        if unknown:
+            raise ValueError(f"unknown simulator parameters: {sorted(unknown)}")
+        self.params = self.params._replace(
+            **{k: jnp.asarray(v, jnp.float32) for k, v in kwargs.items()})
 
     def draw(self, viz=None) -> None:
         """Scene segments + ground-truth pose arrow (lib.rs:142-154):

@@ -176,6 +176,12 @@ class RobotLink:
     def set_motor_pi_params(self, kp: float, ki: float) -> None:
         self.medium.write(CommandMessage.set_motor_pi_params(kp, ki).encode())
 
+    def set_neato(self, on: bool) -> None:
+        """Lidar motor on/off (the reference's Neato checkbox,
+        connection.rs:151-180 UI block)."""
+        msg = CommandMessage.neato_on() if on else CommandMessage.neato_off()
+        self.medium.write(msg.encode())
+
     def _run(self) -> None:
         while not self._stop.is_set():
             try:

@@ -358,3 +358,129 @@ class VirtualRobotServer:
         self._stop.set()
         self._thread.join(timeout=2.0)
         self.medium.close()
+
+
+class UsbCdcServer:
+    """pty-backed USB-CDC bridge (tasks/usb.rs:7-81): the virtual robot
+    enumerates as a serial tty device — the host opens :attr:`path` with
+    :class:`slamrs_tpu.io.connection.SerialMedium` exactly as it would a
+    real ``/dev/ttyACM0`` (baud is nominal; real CDC ignores it too).
+
+    The firmware drives Connected/Disconnected events off the CDC DTR
+    line (usb.rs:24-40); the pty equivalents: Connected on the first
+    host bytes (opening the port asserts DTR and the host handshake
+    immediately writes ``NeatoOn``), Disconnected on hangup (EIO on the
+    master once the host closes the slave).  After a hangup the server
+    re-arms and accepts the next session, like re-plugging USB.
+    """
+
+    def __init__(self, robot: VirtualRobot, realtime: bool = False,
+                 dt: float = 0.05):
+        import os
+
+        self.robot = robot
+        self.dt = dt
+        self.realtime = realtime
+        self._master, holder = os.openpty()
+        self.path = os.ttyname(holder)
+        # raw mode on the slave tty (a real CDC ACM device has no line
+        # discipline): without this, ICANON line-buffers the binary
+        # frames and ECHO feeds host bytes back into the command parser
+        self._raw_tty(holder)
+        # the holder keeps the pty alive while no host has it open;
+        # closed once a host connects so host-close surfaces as EIO
+        self._holder: Optional[int] = holder
+        self._stop = threading.Event()
+        self._buf = bytearray()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _raw_tty(fd: int) -> None:
+        import tty
+
+        tty.setraw(fd)
+
+    def _read_master(self) -> Optional[bytes]:
+        """b'' on timeout, None on hangup (host dropped DTR)."""
+        import os
+        import select
+
+        r, _, _ = select.select([self._master], [], [], self.dt)
+        if not r:
+            return b""
+        try:
+            return os.read(self._master, 4096)
+        except OSError:  # EIO: slave side fully closed
+            return None
+
+    def _run(self) -> None:
+        import os
+        import select
+        import time as _time
+
+        while not self._stop.is_set():
+            t0 = _time.monotonic()
+            data = self._read_master()
+            if data is None:
+                if self.robot.connected:
+                    self.robot.disconnect()  # DTR dropped (usb.rs:33-40)
+                # re-arm: hold the slave open again for the next session
+                self._holder = os.open(self.path,
+                                       os.O_RDWR | os.O_NOCTTY
+                                       | os.O_NONBLOCK)
+                self._raw_tty(self._holder)
+                continue
+            if data:
+                if not self.robot.connected:
+                    self.robot.connect()  # DTR asserted (usb.rs:24-32)
+                    if self._holder is not None:
+                        os.close(self._holder)
+                        self._holder = None
+                self._buf.extend(data)
+                self._dispatch()
+            self.robot.step(self.dt)
+            for raw in self.robot.outbox:
+                if not self.robot.connected:
+                    break  # nobody listening: drop, like the firmware
+                view = memoryview(raw)
+                while view and not self._stop.is_set():
+                    _, w, _ = select.select([], [self._master], [], 1.0)
+                    if not w:
+                        break  # stalled host: drop the rest of the frame
+                    try:
+                        sent = os.write(self._master, view)
+                    except OSError:
+                        break
+                    view = view[sent:]
+            self.robot.outbox.clear()
+            if self.realtime:
+                sleep = self.dt - (_time.monotonic() - t0)
+                if sleep > 0:
+                    _time.sleep(sleep)
+
+    def _dispatch(self) -> None:
+        while True:
+            try:
+                msg, consumed = CommandMessage.decode(bytes(self._buf))
+            except (EOFError, IndexError):
+                return
+            except ValueError:
+                del self._buf[:1]
+                continue
+            del self._buf[:consumed]
+            self.robot.handle_command(msg)
+
+    def close(self) -> None:
+        import os
+
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        if self.robot.connected:
+            self.robot.disconnect()
+        for fd in (self._master, self._holder):
+            if fd is not None:
+                try:
+                    os.close(fd)
+                except OSError:
+                    pass
