@@ -192,11 +192,17 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         nb = scan.angles.shape[-1]
         dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb > 1
                 else jnp.float32(2.0 * jnp.pi))
-        grids, log_lik = fused_update(
-            state.grids, new_poses, scan.angles[..., 0], scan.distances,
-            scan.valid, scan.present, spec, nb,
-            config.max_scan_range, resident=resident, interpret=interpret,
-            ancestors=state.ancestors if deferred else None, dphi=dphi)
+        import os as _os
+        if _os.environ.get("SLAMRS_STUB_KERNEL"):  # profiling only
+            grids = state.grids
+            log_lik = jnp.sum(state.grids[:, :1, :1].astype(jnp.float32),
+                              axis=(1, 2)) + new_poses[:, 0]
+        else:
+            grids, log_lik = fused_update(
+                state.grids, new_poses, scan.angles[..., 0], scan.distances,
+                scan.valid, scan.present, spec, nb,
+                config.max_scan_range, resident=resident, interpret=interpret,
+                ancestors=state.ancestors if deferred else None, dphi=dphi)
     else:
         log_lik = jax.vmap(
             lambda g, q: grid_log_likelihood(g, spec, q, scan.angles,
@@ -216,6 +222,16 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     log_motion = motion.log_prob(state.poses, new_poses,
                                  odometry.distance_left,
                                  odometry.distance_right, odometry.wheel_base)
+
+    import os as _os
+    if _os.environ.get("SLAMRS_STUB_RESAMPLE"):  # profiling only
+        new_state = GridSlamState(
+            poses=new_poses, grids=grids, weights=state.weights,
+            best_pose=new_poses[0], best_idx=jnp.int32(0),
+            ancestors=state.ancestors)
+        return new_state, GridSlamOutputs(
+            pose=new_poses[0], n_eff=jnp.sum(log_lik),
+            resampled=jnp.bool_(False))
 
     # 4-5) weighting + gated systematic resample (_weigh_and_select);
     # the grid gather applies below per formulation (deferred / CoW /

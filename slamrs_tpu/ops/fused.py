@@ -129,22 +129,33 @@ def encode_beam_table(distances_cells: Array, valid: Array,
                       zero, zero, zero])
 
 
-def _gather_beam(table_ref, bins, rows, cols):
-    """d_enc per cell via chunked 128-lane gathers.  bins int32 [rows, cols]
-    in [0, 384)."""
-    out = jnp.zeros((rows, cols), jnp.float32)
+def _gather_beam(table_ref, bins, rows, cols, table_rows=(0,)):
+    """Per-cell beam-table lookups via chunked 128-lane gathers.
+
+    bins: int32 [rows, cols] in [0, 384).  ``table_rows`` selects which
+    beam-table rows to fetch; chunk masks and lane indices are shared
+    across them.  NOTE measured: each extra fetched row costs ~one full
+    gather per chunk (+150 us/update at the 0.02 m config for a 2-row
+    fetch) — gathers dominate everything around them, so keep the hot
+    path at ONE row and decode in registers (see _cell_pass).
+    Returns one [rows, cols] array per requested table row.
+    """
+    outs = [jnp.zeros((rows, cols), jnp.float32) for _ in table_rows]
     for c in range(3):
-        tb = jnp.broadcast_to(table_ref[0:1, c * 128:(c + 1) * 128],
-                              (rows, 128))
-        parts = []
+        subs = []
         for j in range(cols // 128):
             # lanes outside this chunk are masked by the range select
             # below, so a cheap &127 replaces clip for index safety
-            sub = (bins[:, j * 128:(j + 1) * 128] - c * 128) & 127
-            parts.append(jnp.take_along_axis(tb, sub, axis=1))
-        v = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-        out = jnp.where((bins >= c * 128) & (bins < (c + 1) * 128), v, out)
-    return out
+            subs.append((bins[:, j * 128:(j + 1) * 128] - c * 128) & 127)
+        in_chunk = (bins >= c * 128) & (bins < (c + 1) * 128)
+        for t, tr in enumerate(table_rows):
+            tb = jnp.broadcast_to(table_ref[tr:tr + 1, c * 128:(c + 1) * 128],
+                                  (rows, 128))
+            parts = [jnp.take_along_axis(tb, sub, axis=1) for sub in subs]
+            v = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                 else parts[0])
+            outs[t] = jnp.where(in_chunk, v, outs[t])
+    return outs[0] if len(table_rows) == 1 else outs
 
 
 def _atan2(y, x):
@@ -253,7 +264,6 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     (parity with the reference's grid-bounds checks, map.rs:93-97).
     """
     cx, cy, _theta, ta, _ct, _st, dphi, inv_dphi = params
-    half = TOLERANCE_CELLS / 2.0
     two_pi = 2.0 * pymath.pi
 
     wy = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 0).astype(
@@ -265,7 +275,6 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     dx = wx + 0.5 - cx
     dy = wy + 0.5 - cy
     r2 = dx * dx + dy * dy
-    r = jnp.sqrt(r2)
 
     phi = _atan2(dy, dx)
     # angular bin honoring the scan's true spacing, wrapped in ANGLE
@@ -280,16 +289,22 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     bins_f = jnp.where(bins_f >= two_pi * inv_dphi - 0.5, 0.0, bins_f)
     bins = bins_f.astype(jnp.int32)
 
+    # inverse sensor model (map.rs:148-172).  One gather only: a second
+    # table fetch of pre-squared interval bounds measured +150 us at the
+    # 0.02 m config — in-register decode is far cheaper than another
+    # chunked gather.  The compares run in SQUARED space (A/B derived
+    # from the gathered d per cell) so the per-cell sqrt disappears.
     d_enc = _gather_beam(table_ref, bins, wr, cols)
     was_hit = d_enc > 0.0
-    present = (d_enc > 0.0) | (d_enc < 0.0)  # -0.0 -> absent
+    present = d_enc != 0.0  # +-0.0 -> absent (IEEE: -0.0 == 0.0)
     d = jnp.abs(d_enc)
-
-    # inverse sensor model (map.rs:148-172)
-    hit_val = jnp.where(r < d - half, L_FREE,
-                        jnp.where(r > d + half, 0.0, L_OCCUPIED))
-    miss_val = jnp.where(r < d, L_FREE, 0.0)
-    inc = jnp.where(was_hit, hit_val, miss_val)
+    half = TOLERANCE_CELLS / 2.0
+    dm = jnp.maximum(d - half, 0.0)
+    a_sq = jnp.where(was_hit, dm * dm, d * d)
+    dp = d + half
+    b_sq = jnp.where(was_hit, dp * dp, -1.0)
+    inc = jnp.where(r2 < a_sq, L_FREE,
+                    jnp.where(r2 <= b_sq, L_OCCUPIED, 0.0))
     # multiplicity compensation: beams-per-cell density near the robot
     dens = jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2, 0.25)) * inv_dphi)
     in_bounds = (wy < float(logical_rows)) & (wx < float(logical_cols))
@@ -315,7 +330,20 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
     both passes, per-particle likelihood row, merged write-back.
     ``c0`` is the window's grid-column offset (None when the window
     spans the full column axis)."""
-    if crop128:
+    # bf16 windows roll PACKED: bitcast to i32 (sublane pairs — the lane
+    # axis is untouched, so any u0 works), roll half the elements, and
+    # unpack only the 128 compute lanes.  Halves the roll+cast traffic
+    # of the crop128 path.
+    pair = crop128 and w_out.dtype == jnp.bfloat16 and wr % 2 == 0
+    if pair:
+        u0 = uoff_ref[i]
+        pairs = pltpu.bitcast(w_in[...], jnp.int32)  # [wr//2, wc]
+        rolledp = pltpu.roll(pairs, -u0, 1)
+        w32 = pltpu.bitcast(rolledp[:, :128], jnp.bfloat16).astype(
+            jnp.float32)
+        cw = 128
+        ceff = u0 if c0 is None else c0 + u0
+    elif crop128:
         u0 = uoff_ref[i]
         rolled = pltpu.roll(w_in[...].astype(jnp.float32), -u0, 1)
         w32 = rolled[:, :128]
@@ -334,9 +362,14 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
                      num_beams=num_beams, r0=r0,
                      logical_rows=logical_rows,
                      logical_cols=logical_cols, c0=ceff)
-    lik_ref[k if ppb == 8 else i % 8, :] = jnp.full((128,), lik,
+    lik_ref[k if ppb >= 8 else i % 8, :] = jnp.full((128,), lik,
                                                     jnp.float32)
-    if crop128:
+    if pair:
+        out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
+        w_out[...] = pltpu.bitcast(
+            pltpu.roll(jnp.concatenate([out_p, rolledp[:, 128:]], axis=1),
+                       u0, 1), jnp.bfloat16)
+    elif crop128:
         w_out[...] = pltpu.roll(
             jnp.concatenate([out, rolled[:, 128:]], axis=1), u0, 1
         ).astype(w_out.dtype)
@@ -573,7 +606,9 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     # resident, ~1.3 us with window DMAs) dominates this kernel's actual
     # math — see _kernel_resident docstring.  8 divides every production
     # particle count; odd counts fall back to one particle per program.
-    ppb = 8 if p % 8 == 0 else 1
+    # Big sets batch 16/program (measured another ~2% at 1,024; 32 gave
+    # no more and doubles Mosaic compile time).
+    ppb = 16 if (p % 16 == 0 and p >= 512) else 8 if p % 8 == 0 else 1
 
     deferred = ancestors is not None
     if deferred:
@@ -608,8 +643,8 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         prefetch = [r0, c0, u0]
     n_grid_in = 2 + len(prefetch)  # index of grids among pallas inputs
 
-    if ppb == 8:
-        lik_spec = pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+    if ppb >= 8:
+        lik_spec = pl.BlockSpec((ppb, 128), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
     else:
         lik_spec = pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
@@ -718,14 +753,17 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
         bins_f = jnp.where(wrap, 0.0, bins_f)
         bins_f = jnp.where(absent, float(num_beams), bins_f)
         bins = bins_f.astype(jnp.int32)
+        # mirror of the kernel's squared-space decode (single gather)
         d_enc = table[0][bins]
         was_hit = d_enc > 0.0
-        pres = (d_enc > 0.0) | (d_enc < 0.0)
+        pres = d_enc != 0.0
         d = jnp.abs(d_enc)
-        hit_val = jnp.where(r < d - half, L_FREE,
-                            jnp.where(r > d + half, 0.0, L_OCCUPIED))
-        miss_val = jnp.where(r < d, L_FREE, 0.0)
-        inc = jnp.where(was_hit, hit_val, miss_val)
+        dm = jnp.maximum(d - half, 0.0)
+        a_sq = jnp.where(was_hit, dm * dm, d * d)
+        dp = d + half
+        b_sq = jnp.where(was_hit, dp * dp, -1.0)
+        inc = jnp.where(r2 < a_sq, L_FREE,
+                        jnp.where(r2 <= b_sq, L_OCCUPIED, 0.0))
         dens = jnp.maximum(1.0, 1.0 / (jnp.maximum(r, 0.5) * dphi))
         in_b = (wy < float(spec.rows)) & (wx < float(spec.cols))
         inc = jnp.where(pres & in_b, inc * dens, 0.0)
