@@ -78,6 +78,12 @@ class GridSlamConfig:
     # None = auto (on for unbatched fused-HBM).  MUST be False under
     # vmap (the copy kernel is per-call) — the graph compiler sets it.
     resample_cow: bool | None = None
+    # mesh-sharded fleet resampling mode: "local" relabels slots
+    # local-first so only spilled unique maps cross devices
+    # (parallel/resample.py — no full-grid all-gather); "gather" keeps
+    # the exact slot-ordered take (bitwise-reproducible vs the
+    # unsharded fleet, at all-gather cost).
+    fleet_resample: str = "local"
 
     @property
     def padded_cols(self) -> int:
@@ -292,8 +298,11 @@ def update_fleet(state: GridSlamState, scan: Scan,
     particle axis, the resample gather's all-gather).  Matches the
     reference update loop slam.rs:45-75 run over W independent worlds.
 
-    Fleet semantics mirror the vmapped path: applied (not deferred)
-    resampling, whole-set gather (no CoW — slot relabeling is per-call).
+    Fleet resampling is applied (not deferred); with a particle-sharded
+    mesh the default ``fleet_resample="local"`` relabels slots
+    local-first so only spilled unique maps cross devices
+    (parallel/resample.py) — ``"gather"`` keeps the exact slot-ordered
+    take for bitwise reproducibility vs the unsharded fleet.
     """
     if config.integrate != "fused" or mesh is None:
         if config.integrate == "fused":
@@ -334,8 +343,21 @@ def update_fleet(state: GridSlamState, scan: Scan,
     best_pose = jnp.take_along_axis(
         new_poses, best_idx[:, None, None], axis=1)[:, 0]
 
-    new_poses = jnp.take_along_axis(new_poses, ancestors[:, :, None], axis=1)
-    grids = jnp.take_along_axis(grids, ancestors[:, :, None, None], axis=1)
+    if (config.fleet_resample == "local"
+            and dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                "particle", 1) > 1):
+        # local-first multiset relabeling: only spilled unique maps move
+        # over ICI (parallel/resample.py) instead of the SPMD
+        # partitioner's full-grid all-gather for a sharded-axis take
+        from slamrs_tpu.parallel.resample import resample_fleet
+
+        grids, new_poses = resample_fleet(grids, new_poses, ancestors,
+                                          mesh)
+    else:
+        new_poses = jnp.take_along_axis(new_poses, ancestors[:, :, None],
+                                        axis=1)
+        grids = jnp.take_along_axis(grids, ancestors[:, :, None, None],
+                                    axis=1)
     identity = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32),
                                 ancestors.shape)
 

@@ -153,7 +153,10 @@ def test_fleet_fused_sharded():
                                            shard_world_state)
 
     cfg = GridSlamConfig(resolution=0.1, n_particles=8, integrate="fused",
-                         resample_neff_frac=0.5, grid_dtype="bfloat16")
+                         resample_neff_frac=0.5, grid_dtype="bfloat16",
+                         fleet_resample="gather")  # exact slot order for
+    # the bitwise comparison below; the default "local" relabeling is
+    # gated by tests/test_fleet_resample.py + the local-mode test below
     worlds = 8
     mesh = make_mesh(8, particle_axis=2)  # 4 world-shards x 2 p-shards
 
@@ -272,3 +275,41 @@ def test_rollout_cadence_matches_rollout():
     np.testing.assert_allclose(
         np.asarray(a.grid.grids, np.float32),
         np.asarray(b.grid.grids, np.float32), atol=1e-3)
+
+
+def test_fleet_fused_sharded_local_resample_multiset():
+    """The DEFAULT mesh resampling ("local", parallel/resample.py) must
+    produce the same per-world particle MULTISET as the exact gather
+    mode after the first resampling scan tick (slot order is free)."""
+    import dataclasses
+
+    from slamrs_tpu.models.gridslam import GridSlamConfig
+    from slamrs_tpu.parallel.fleet import make_mesh, shard_world_state
+
+    base = GridSlamConfig(resolution=0.1, n_particles=8, integrate="fused",
+                          resample_neff_frac=1.0, grid_dtype="bfloat16")
+    worlds = 4
+    mesh = make_mesh(8, particle_axis=2)
+    n = 8  # exactly one scan tick at update_period=0.2, dt=1/30
+
+    results = {}
+    for mode in ("local", "gather"):
+        cfg = dataclasses.replace(base, fleet_resample=mode)
+        fw = make_fused(grid_config=cfg, num_beams=64, mesh=mesh)
+        state = shard_world_state(fw.init((worlds,)), mesh, worlds)
+        final, outs = jax.jit(lambda s, f=fw: f.rollout(s, n, seed=5))(
+            state)
+        assert bool(np.asarray(outs.fired).any())
+        results[mode] = (np.asarray(final.grid.grids, np.float32),
+                         np.asarray(final.grid.poses))
+
+    for w in range(worlds):
+        g_l, p_l = results["local"][0][w], results["local"][1][w]
+        g_g, p_g = results["gather"][0][w], results["gather"][1][w]
+        # multiset equality: sort particles by (pose bytes, map bytes)
+        key_l = np.argsort([p.tobytes() + g.tobytes()
+                            for p, g in zip(p_l, g_l)])
+        key_g = np.argsort([p.tobytes() + g.tobytes()
+                            for p, g in zip(p_g, g_g)])
+        np.testing.assert_array_equal(g_l[key_l], g_g[key_g])
+        np.testing.assert_array_equal(p_l[key_l], p_g[key_g])
