@@ -13,7 +13,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from slamrs_tpu.ops.fused import _window_compute
-from tmp_prof_002 import (DT, NB, P, cols, crop128, pp_h, r0_h, c0_h, u0_h,
+from benchmarks.prof_002 import (DT, NB, P, cols, crop128, pp_h, r0_h, c0_h, u0_h,
                           rows, spec, table_h, wc, wr)
 
 PPB = int(sys.argv[1]) if len(sys.argv) > 1 else 8

@@ -125,3 +125,26 @@ def test_gridslam_fused_hbm_cow_path():
     np.testing.assert_array_equal(np.asarray(state.ancestors),
                                   np.arange(8))
     assert float(jnp.abs(state.grids.astype(jnp.float32)).sum()) > 0
+
+
+def test_cow_plan_byte_accounting():
+    """The config-3 bound probe (bench.py --config3-bound) computes moved
+    bytes as (n_copies + unique_sources) * map_bytes; gate the plan
+    arithmetic it relies on: copy count == duplicated children, and the
+    staged kernel's unique-source count == distinct ancestors with
+    duplicates."""
+    from slamrs_tpu.ops.cow import cow_plan
+
+    p = 64
+    anc_np = np.sort(np.array([0] * 10 + [3] * 5 + [7] * 2
+                              + list(range(8, 8 + p - 17))))
+    anc = jnp.asarray(anc_np, jnp.int32)
+    src, dst, n_copies = cow_plan(anc)
+    dup_children = int(sum(c - 1 for c in
+                           np.bincount(anc_np) if c > 1))
+    assert int(n_copies) == dup_children  # 9 + 4 + 1
+    uniq_sources = len(np.unique(np.asarray(src)[:int(n_copies)]))
+    assert uniq_sources == 3  # ancestors 0, 3, 7
+    # destinations are freed slots (no surviving ancestor overwritten)
+    freed = set(range(p)) - set(anc_np.tolist())
+    assert set(np.asarray(dst)[:int(n_copies)].tolist()) <= freed

@@ -270,3 +270,4 @@ def test_window_rows_covers_disc():
     wr = window_rows(SPEC, 1.0)
     disc = 2 * (int(np.ceil(1.0 / SPEC.resolution)) + 3) + 1
     assert wr % 8 == 0 and wr >= min(disc, SPEC.rows)
+
