@@ -152,22 +152,26 @@ def test_fleet_fused_sharded():
     from slamrs_tpu.parallel.fleet import (fleet_shardings, make_mesh,
                                            shard_world_state)
 
-    cfg = GridSlamConfig(resolution=0.1, n_particles=8, integrate="fused",
-                         resample_neff_frac=0.5, grid_dtype="bfloat16",
+    # PRODUCTION scan shapes (VERDICT r3 #3): 360 beams, 0.05 m cells,
+    # 64 particles on a 4-way particle axis; interpret-mode cost is kept
+    # in check by limiting STEPS (one scan tick), not shapes.
+    cfg = GridSlamConfig(resolution=0.05, n_particles=64,
+                         integrate="fused", resample_neff_frac=0.5,
+                         grid_dtype="bfloat16",
                          fleet_resample="gather")  # exact slot order for
     # the bitwise comparison below; the default "local" relabeling is
     # gated by tests/test_fleet_resample.py + the local-mode test below
-    worlds = 8
-    mesh = make_mesh(8, particle_axis=2)  # 4 world-shards x 2 p-shards
+    worlds = 4
+    mesh = make_mesh(8, particle_axis=4)  # 2 world-shards x 4 p-shards
 
-    fw_sharded = make_fused(grid_config=cfg, num_beams=64, mesh=mesh)
-    fw_plain = make_fused(grid_config=cfg, num_beams=64)
+    fw_sharded = make_fused(grid_config=cfg, num_beams=360, mesh=mesh)
+    fw_plain = make_fused(grid_config=cfg, num_beams=360)
 
     state = fw_plain.init((worlds,))
     sharded_state = shard_world_state(state, mesh, worlds)
     shardings = fleet_shardings(sharded_state, mesh, worlds)
 
-    n = 16  # two scan ticks at update_period=0.2, dt=1/30
+    n = 8  # one scan tick at update_period=0.2, dt=1/30
 
     @jax.jit
     def run_sharded(s):
