@@ -73,11 +73,17 @@ class GridSlamConfig:
     # forces HBM windows — REQUIRED under vmap (the per-world slice looks
     # small at trace time but the batched array is worlds x bigger)
     fused_resident: bool | None = None
-    # copy-on-write resampling for the fused HBM path (ops.cow): moves
-    # only duplicated maps instead of gathering the whole 2 GB set.
-    # None = auto (on for unbatched fused-HBM).  MUST be False under
-    # vmap (the copy kernel is per-call) — the graph compiler sets it.
-    resample_cow: bool | None = None
+    # fused-HBM resample mechanism.  None = auto = the staged
+    # copy-on-write pass (ops.cow — only duplicated maps move); True
+    # pins CoW explicitly; False (set by the graph compiler under vmap —
+    # the copy kernel is per-call) falls back to the whole-set gather
+    # behind an N_eff cond.  "deferred" pins the fused-lineage HBM
+    # kernel (ops.fused._kernel_hbm_anc) where the geometry allows:
+    # correct and fully tested, but MEASURED SLOWER than CoW at the
+    # 0.02 m bench point (a lineage kernel cannot alias its in/out grid
+    # buffers, and non-aliased output costs ~318 us — more than the
+    # ~230 us CoW pass it replaces; benchmarks/README.md).
+    resample_cow: bool | str | None = None
     # mesh-sharded fleet resampling mode: "local" relabels slots
     # local-first so only spilled unique maps cross devices
     # (parallel/resample.py — no full-grid all-gather); "gather" keeps
@@ -185,7 +191,8 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     # path does both in one Pallas VMEM pass; the others are separate ops.
     deferred = False
     if config.integrate == "fused":
-        from slamrs_tpu.ops.fused import fits_vmem_resident, fused_update
+        from slamrs_tpu.ops.fused import (fits_vmem_resident, fused_update,
+                                          supports_deferred_hbm)
 
         interpret = jax.default_backend() == "cpu"
         grid_bytes = (state.grids.size
@@ -194,7 +201,19 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
             resident = config.fused_resident
         else:
             resident = fits_vmem_resident(grid_bytes)
-        deferred = resident
+        # HBM grids CAN defer lineage into the kernel too
+        # (resample_cow="deferred", full-width-window geometries only),
+        # letting the resample's map copy ride the kernel's DMA schedule
+        # as HBM-to-HBM band copies.  Measured SLOWER than staged CoW at
+        # 0.02 m (5,725 vs 5,935 ticks/s): a lineage kernel cannot alias
+        # its in/out grid buffers, and the non-aliased output alone costs
+        # ~318 us (benchmarks/README.md) — so auto keeps CoW and this
+        # stays an explicit opt-in.
+        deferred = resident or (
+            config.resample_cow == "deferred"
+            and supports_deferred_hbm(spec, config.max_scan_range,
+                                      state.grids.shape[-2],
+                                      state.grids.shape[-1]))
         nb = scan.angles.shape[-1]
         dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb > 1
                 else jnp.float32(2.0 * jnp.pi))

@@ -93,6 +93,21 @@ def window_rows(spec: GridSpec2D, max_range_m: float) -> int:
     return min(wr, (spec.rows + 7) // 8 * 8)
 
 
+def supports_deferred_hbm(spec: GridSpec2D, max_range_m: float,
+                          rows: int, cols: int) -> bool:
+    """Whether the fused-lineage HBM kernel (:func:`_kernel_hbm_anc`) can
+    run this geometry: full-width windows (no column crop) and a window
+    tall enough that the two static out-of-window row bands are disjoint.
+    ``rows``/``cols`` are the physical grid array dims (128-padded cols).
+    """
+    wr = window_rows(spec, max_range_m)
+    wr = min(wr, rows - rows % 8 if rows % 8 else rows)
+    disc_half = (int(pymath.ceil(max_range_m / spec.resolution))
+                 + ADDITIONAL_STEPS + 1)
+    wc = cols if (cols <= 256 or disc_half > 64) else 256
+    return wc == cols and rows - wr <= wr
+
+
 def encode_beam_table(distances_cells: Array, valid: Array,
                       present: Array, angles0: Array | None = None,
                       dphi: Array | None = None) -> Array:
@@ -448,6 +463,121 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                        crop128=crop128)
 
 
+def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
+                    grid_in, lik_ref, grid_out, win, sem_in, sem_out,
+                    sem_band, *, wr, wc, num_beams, logical_rows,
+                    logical_cols, ppb, crop128, rows):
+    """Deferred-lineage HBM kernel: the resample's map copy FUSED into the
+    update's own DMA schedule (particle.rs:78-105 + map.rs:71-145 in one
+    pass).
+
+    Particle i continues lineage ``anc_ref[i]``: its scan window is DMA'd
+    from ``grid_in[a]``, integrated in VMEM, and written to
+    ``grid_out[i]`` (separate buffers — no aliasing).  The rows OUTSIDE
+    the window are copied ``grid_in[a] -> grid_out[i]`` **HBM-to-HBM**,
+    never touching VMEM and with no dependency on compute, so they ride
+    the DMA engines under the ALU-bound window passes.  This replaces the
+    separate staged-CoW resample pass (a structural ~300 us/frame at the
+    0.02 m config, where weights are peaked enough that resampling fires
+    ~99.6% of scan frames) with copies that hide.
+
+    MEASURED OUTCOME (v5e, 0.02 m bench point — benchmarks/prof_anc.py):
+    correct but SLOWER than plain-kernel + staged CoW (1,033 vs 921
+    us/update; end-to-end 5,725 vs 5,935 ticks/s).  The band copies are
+    nearly free (+34 us) — the loss is that a lineage kernel cannot
+    alias its in/out grid buffers (duplicated ancestors would clobber
+    sources), and a non-aliased 100 MB output costs ~318 us by itself
+    (plain kernel: 828 us aliased vs 1,147 non-aliased, identical code).
+    Kept as an explicit opt-in (GridSlamConfig.resample_cow="deferred")
+    and as documentation of the measured dead end.
+
+    Band construction: DMA sizes must be static, so the two out-of-window
+    bands ``[0, r0)`` and ``[r0+wr, rows)`` (dynamic lengths) are covered
+    by two STATIC bands ``[0, rows-wr)`` and ``[wr, rows)``; the parts of
+    those bands inside the window are overwritten by the window write-back,
+    which therefore must start only after the bands land (sem_band wait
+    after compute — the bands have the whole compute phase to finish).
+    Requires ``wr >= rows - wr`` so the static bands are disjoint (no
+    two DMAs racing identical writes) and ``wc == cols`` (full-width
+    windows; column-cropped huge maps keep the staged-CoW pass).
+    """
+    band = rows - wr
+    j = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = j % 2
+
+    def in_copy(jj, s, k):
+        p_idx = jj * ppb + k
+        a = anc_ref[p_idx]
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+        return pltpu.make_async_copy(
+            grid_in.at[a, pl.ds(rj, wr), :], win.at[s, k], sem_in.at[s, k])
+
+    def band_copies(jj, s, k):
+        p_idx = jj * ppb + k
+        a = anc_ref[p_idx]
+        return (
+            pltpu.make_async_copy(grid_in.at[a, pl.ds(0, band), :],
+                                  grid_out.at[p_idx, pl.ds(0, band), :],
+                                  sem_band.at[s, k, 0]),
+            pltpu.make_async_copy(grid_in.at[a, pl.ds(wr, band), :],
+                                  grid_out.at[p_idx, pl.ds(wr, band), :],
+                                  sem_band.at[s, k, 1]),
+        )
+
+    def out_copy(jj, s, k):
+        p_idx = jj * ppb + k
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+        return pltpu.make_async_copy(
+            win.at[s, k], grid_out.at[p_idx, pl.ds(rj, wr), :],
+            sem_out.at[s, k])
+
+    def start_all(jj, s, k):
+        in_copy(jj, s, k).start()
+        if band > 0:
+            ba, bb = band_copies(jj, s, k)
+            ba.start()
+            bb.start()
+
+    @pl.when(j == 0)
+    def _():
+        for k in range(ppb):
+            start_all(0, 0, k)
+
+    # slot (j+1)%2's window buffers were written back by program j-1;
+    # those out-DMAs must land before the next in-DMAs overwrite them
+    @pl.when(j >= 1)
+    def _():
+        for k in range(ppb):
+            out_copy(j - 1, (j - 1) % 2, k).wait()
+
+    @pl.when(j + 1 < n)
+    def _():
+        for k in range(ppb):
+            start_all(j + 1, (j + 1) % 2, k)
+
+    for k in range(ppb):
+        i = j * ppb + k
+        in_copy(j, slot, k).wait()
+        r0 = pl.multiple_of(off_ref[i], 8)
+        _window_compute(win.at[slot, k], win.at[slot, k], i, k, r0, None,
+                        uoff_ref, pp_ref, table_ref, lik_ref, wr=wr,
+                        wc=wc, num_beams=num_beams,
+                        logical_rows=logical_rows,
+                        logical_cols=logical_cols, ppb=ppb,
+                        crop128=crop128)
+        if band > 0:
+            ba, bb = band_copies(j, slot, k)
+            ba.wait()
+            bb.wait()
+        out_copy(j, slot, k).start()
+
+    @pl.when(j == n - 1)
+    def _():
+        for k in range(ppb):
+            out_copy(j, slot, k).wait()
+
+
 def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, table_ref, grid_in,
                 lik_ref, grid_out, win, sem_in, sem_out, *, wr, wc, num_beams,
                 logical_rows, logical_cols, ppb, crop128):
@@ -611,8 +741,16 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     ppb = 16 if (p % 16 == 0 and p >= 512) else 8 if p % 8 == 0 else 1
 
     deferred = ancestors is not None
-    if deferred:
-        assert resident, "deferred ancestors require VMEM-resident grids"
+    if deferred and not resident:
+        # fused-lineage HBM kernel: full-width windows + disjoint static
+        # row bands only (see _kernel_hbm_anc docstring); callers gate
+        assert wc == cols, "deferred HBM lineage needs full-width windows"
+        assert rows - wr <= wr, "deferred HBM lineage needs wr >= rows-wr"
+        kernel = functools.partial(
+            _kernel_hbm_anc, wr=wr, wc=wc, num_beams=num_beams,
+            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
+            crop128=crop128, rows=rows)
+    elif deferred:
         kernel = functools.partial(
             _kernel_resident_anc, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
@@ -628,7 +766,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
             crop128=crop128)
     space = pltpu.VMEM if resident else pl.ANY
-    if deferred or resident:
+    if resident:
         scratch = []
     else:
         scratch = [
@@ -636,6 +774,8 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             pltpu.SemaphoreType.DMA((2, ppb)),
             pltpu.SemaphoreType.DMA((2, ppb)),
         ]
+        if deferred:
+            scratch.append(pltpu.SemaphoreType.DMA((2, ppb, 2)))
 
     if deferred:
         prefetch = [ancestors.astype(jnp.int32), r0, c0, u0]

@@ -189,6 +189,65 @@ def test_hbm_column_crop_matches_oracle():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_hbm_deferred_lineage_matches_gather_then_kernel():
+    """The fused-lineage HBM kernel (_kernel_hbm_anc) must be BITWISE
+    identical to materializing the resample first (jnp.take by ancestor)
+    and running the plain HBM kernel: the lineage indirection + the
+    HBM-to-HBM out-of-window band copies only move WHERE bytes come
+    from, never what they are.  Covers duplicated, skipped, and identity
+    ancestors, and r0 clamped at both grid edges."""
+    grids, poses, dist, valid, present = _mk(p=8, seed=21)
+    # push two poses to the y-edges so r0 clamps to 0 / rows-wr
+    poses = poses.at[0, 1].set(-1.9).at[1, 1].set(1.9)
+    a0 = jnp.float32(0.0)
+    for anc_np in ([0, 0, 3, 3, 3, 5, 7, 7], list(range(8))):
+        anc = jnp.asarray(anc_np, jnp.int32)
+        g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
+                              SPEC, B, 1.0, resident=False, interpret=True,
+                              ancestors=anc)
+        g2, l2 = fused_update(jnp.take(grids, anc, axis=0), poses, a0,
+                              dist, valid, present, SPEC, B, 1.0,
+                              resident=False, interpret=True)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_gridslam_fused_hbm_deferred_path():
+    """End-to-end gridslam update routing: fused_resident=False with
+    resample_cow="deferred" (explicit opt-in — auto keeps staged CoW,
+    which measured faster) on a full-width-window geometry must take
+    the deferred-lineage kernel — ancestors come back PENDING (not
+    identity) and the filter stays healthy across steps."""
+    B2 = 360
+    cfg = gs.GridSlamConfig(position_x=-2, position_y=-2, width=4.0,
+                            height=4.0, resolution=0.05, n_particles=8,
+                            max_scan_range=1.0, integrate="fused",
+                            resample_neff_frac=1.0,  # force resampling
+                            fused_resident=False, resample_cow="deferred")
+    state = gs.GridSlamState.init(cfg)
+    angles = jnp.arange(B2, dtype=jnp.float32) * (2 * np.pi / B2)
+    scan = Scan(angles=angles,
+                distances=jnp.full((B2,), 0.8, jnp.float32),
+                strengths=jnp.ones((B2,), jnp.float32),
+                valid=jnp.ones((B2,), bool),
+                present=jnp.ones((B2,), bool))
+    odo = OdometryReading(jnp.float32(0.01), jnp.float32(0.012),
+                          jnp.float32(0.1))
+    key = jax.random.key(3)
+    saw_pending = False
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, out = gs.update(state, scan, odo, k, cfg)
+        assert bool(out.resampled)
+        assert np.isfinite(float(out.n_eff))
+        saw_pending |= not np.array_equal(np.asarray(state.ancestors),
+                                          np.arange(8))
+    # resampling fired every step on 8 particles: at least one step must
+    # have left a real (non-identity) pending lineage
+    assert saw_pending
+    assert float(jnp.abs(state.grids.astype(jnp.float32)).sum()) > 0
+
+
 def test_resident_column_crop_matches_oracle():
     """resident=True with cols > 256 (config-2-class grids): the
     column-sliced + rolled 128-lane compute view must reproduce the
