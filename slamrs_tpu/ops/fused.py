@@ -267,6 +267,125 @@ def _endpoint_lik(w32, params, table_ref, *, wr, cols, num_beams, r0,
     return jnp.sum(lik_acc)
 
 
+def _fold_select(g, yi_f, *, wr):
+    """``g[yi[l], l]`` per lane via 8-aligned binary halving selects +
+    a final one-hot over one [8,128] vreg — bitwise-exact row select
+    (exactly one row matches), ~1/3 the vreg ops of a full-height
+    one-hot.  ``g`` [wr,128] f32, ``yi_f`` [1,128] f32 in [0, wr)."""
+    wf = 8
+    while wf < wr:
+        wf *= 2
+    if wf > wr:
+        g = jnp.concatenate(
+            [g, jnp.zeros((wf - wr, 128), jnp.float32)], axis=0)
+    yy = yi_f
+    h = wf
+    while h > 8:
+        h //= 2
+        sel = yy >= float(h)
+        g = jnp.where(jnp.broadcast_to(sel, (h, 128)), g[h:2 * h], g[:h])
+        yy = yy - jnp.where(sel, float(h), 0.0)
+    hot = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(
+        jnp.float32) == jnp.broadcast_to(yy, (8, 128)))
+    return jnp.sum(jnp.where(hot, g, 0.0), axis=0, keepdims=True)
+
+
+def supports_pack2(spec: GridSpec2D, max_range_m: float, cols: int,
+                   wc: int, crop128: bool, ppb: int) -> bool:
+    """Whether the resident kernels can lane-PACK two particles per
+    [wr, 128] compute view (each disc in a 64-lane half): full-width
+    single-block windows, a disc that fits 64 lanes with roll margin,
+    and paired programs.  This is the 0.05 m-class geometry — the cell
+    pass there uses 47 of 128 lanes per particle, so packing nearly
+    halves the ALU-bound per-cell work."""
+    disc_half = (int(pymath.ceil(max_range_m / spec.resolution))
+                 + ADDITIONAL_STEPS + 1)
+    return (not crop128 and wc == cols == 128 and disc_half <= 31
+            and ppb >= 8 and ppb % 2 == 0)
+
+
+def _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0, *, ppb,
+                     wr, cw, num_beams, logical_rows, logical_cols,
+                     pack2=False):
+    """Batched likelihood phase A: the per-beam endpoint index math of
+    ALL ``ppb`` particles of this program as [ppb, 128] ops (one vreg
+    op serves ppb particles — the [1,128]-per-particle formulation was
+    measured 5x slower, benchmarks/prof_lik.py).  Same arithmetic as
+    :func:`_endpoint_lik`'s per-chunk head, bitwise.
+
+    pv_ref: [P, 8] f32 VMEM per-particle vector params
+    (cx, cy, cos/sin theta, r0, ceff — the window's effective column
+    origin of the COMPUTE view, i.e. DMA offset + crop128 roll).
+    Writes xi/yi/use scratch rows [ppb, 128*n_chunks]."""
+    blk = pv_ref[pl.ds(i0, ppb), :]
+    cx = blk[:, 0:1]
+    cy = blk[:, 1:2]
+    ct = blk[:, 2:3]
+    st = blk[:, 3:4]
+    r0v = blk[:, 4:5]
+    ceff = blk[:, 5:6]
+    n_chunks = -(-num_beams // 128)
+    for bc in range(n_chunks):
+        sl = slice(bc * 128, (bc + 1) * 128)
+        d = table_ref[1:2, sl]
+        ca = table_ref[2:3, sl]
+        sa = table_ref[3:4, sl]
+        use = table_ref[4:5, sl] > 0.5
+        ex = cx + (ct * ca - st * sa) * d          # [ppb, 128]
+        ey = cy + (st * ca + ct * sa) * d
+        in_b = ((ex >= 0.0) & (ey >= 0.0) & (ex < float(logical_cols))
+                & (ey < float(logical_rows)))
+        useb = jnp.broadcast_to(use, (ppb, 128)) & in_b
+        xi = jnp.floor(ex) - ceff
+        yi = jnp.floor(ey) - r0v
+        if pack2:
+            # packed view: particle's valid columns are its 64-lane half
+            # (beams beyond max range drop their endpoint — the same
+            # out-of-window deviation the row axis already has)
+            xlo = blk[:, 6:7]
+            useb = useb & (yi >= 0.0) & (yi < wr) & (xi >= xlo) \
+                & (xi < xlo + 64.0)
+        else:
+            useb = useb & (yi >= 0.0) & (yi < wr) & (xi >= 0.0) & (xi < cw)
+        xi_s[:, sl] = jnp.where(useb, xi, 0.0)
+        yi_s[:, sl] = jnp.where(useb, yi, 0.0)
+        use_s[:, sl] = useb.astype(jnp.float32)
+
+
+def _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, *, wr, cw, num_beams):
+    """Batched likelihood phase B (per particle): endpoint odds via
+    column gather + fold row select on the PRE-update window, written
+    to this particle's ``odds_s`` row."""
+    n_chunks = -(-num_beams // 128)
+    for bc in range(n_chunks):
+        sl = slice(bc * 128, (bc + 1) * 128)
+        xi = xi_s[k:k + 1, sl]
+        yi = yi_s[k:k + 1, sl]
+        g = jnp.zeros((wr, 128), jnp.float32)
+        for b in range(cw // 128):
+            subf = jnp.clip(xi - b * 128, 0.0, 127.0)
+            mf = ((xi >= b * 128) & (xi < (b + 1) * 128)).astype(
+                jnp.float32)
+            sub = jnp.broadcast_to(subf, (wr, 128)).astype(jnp.int32)
+            part = jnp.take_along_axis(w32[:, b * 128:(b + 1) * 128],
+                                       sub, axis=1)
+            g = g + part * mf if cw > 128 else part
+        odds_s[k:k + 1, sl] = _fold_select(g, yi, wr=wr)
+
+
+def _lik_finish_batched(odds_s, use_s, lik_ref):
+    """Batched likelihood phase C: the exp/log mixture tail over all
+    ppb particles x beam lanes at once + per-particle lane reduction
+    (map.rs:113-145 mixture, same arithmetic as _endpoint_lik)."""
+    odds = odds_s[...]
+    p = 1.0 - 1.0 / (1.0 + jnp.exp(odds))
+    mix = Z_HIT * p + (1.0 - Z_HIT) / SENSOR_MAXDIST
+    factor = jnp.where(odds == 0.0, 1.0 / SENSOR_MAXDIST, mix)
+    lf = jnp.where(use_s[...] > 0.5, jnp.log(factor), 0.0)
+    lik_ref[...] = jnp.broadcast_to(
+        jnp.sum(lf, axis=1, keepdims=True), lik_ref.shape)
+
+
 def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
                logical_rows, logical_cols, c0=None):
     """Dense inverse-sensor-model integration: returns updated window f32.
@@ -338,7 +457,8 @@ def _params(pp_ref, i):
 
 def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
                     table_ref, lik_ref, *, wr, wc, num_beams,
-                    logical_rows, logical_cols, ppb, crop128):
+                    logical_rows, logical_cols, ppb, crop128,
+                    lik_scratch=None):
     """THE per-particle compute on a [wr, wc] window pair (shared by the
     resident kernels' sliced map views and the HBM kernel's DMA'd
     scratch window): optional roll to a robot-centered 128-lane view,
@@ -369,16 +489,24 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
         cw = wc
         ceff = c0
     params = _params(pp_ref, i)
-    lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cw,
-                        num_beams=num_beams, r0=r0,
-                        logical_rows=logical_rows,
-                        logical_cols=logical_cols, c0=ceff)
+    if lik_scratch is not None:
+        # batched-lik mode: phase A already produced this particle's
+        # endpoint indices; only the gather+fold is inherently
+        # per-particle (phase C finishes the mixture for the program)
+        xi_s, yi_s, _use_s, odds_s = lik_scratch
+        _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=cw,
+                         num_beams=num_beams)
+    else:
+        lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cw,
+                            num_beams=num_beams, r0=r0,
+                            logical_rows=logical_rows,
+                            logical_cols=logical_cols, c0=ceff)
+        lik_ref[k if ppb >= 8 else i % 8, :] = jnp.full((128,), lik,
+                                                        jnp.float32)
     out = _cell_pass(w32, params, table_ref, wr=wr, cols=cw,
                      num_beams=num_beams, r0=r0,
                      logical_rows=logical_rows,
                      logical_cols=logical_cols, c0=ceff)
-    lik_ref[k if ppb >= 8 else i % 8, :] = jnp.full((128,), lik,
-                                                    jnp.float32)
     if pair:
         out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
         w_out[...] = pltpu.bitcast(
@@ -394,7 +522,8 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
 
 def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
                    table_ref, lik_ref, k, *, wr, cols, wc, num_beams,
-                   logical_rows, logical_cols, ppb, crop128):
+                   logical_rows, logical_cols, ppb, crop128,
+                   lik_scratch=None):
     """One particle of the resident kernels: slice the [wr, wc] window
     views out of the (VMEM-resident) maps and run the shared compute."""
     r0 = pl.multiple_of(off_ref[i], 8)
@@ -409,12 +538,85 @@ def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
     _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
                     table_ref, lik_ref, wr=wr, wc=wc, num_beams=num_beams,
                     logical_rows=logical_rows, logical_cols=logical_cols,
-                    ppb=ppb, crop128=crop128)
+                    ppb=ppb, crop128=crop128, lik_scratch=lik_scratch)
 
 
-def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
-                     grid_in, lik_ref, grid_out, *, wr, cols, wc, num_beams,
-                     logical_rows, logical_cols, ppb, crop128):
+def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
+                 num_beams, logical_rows, logical_cols, pack2=False):
+    """Run batched-lik phase A for program ``j`` when scratch is present;
+    returns the lik_scratch tuple (or None in the ppb<8 fallback)."""
+    if scr is None:
+        return None
+    xi_s, yi_s, use_s, odds_s = scr
+    i0 = pl.multiple_of(j * ppb, 8)
+    _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0, ppb=ppb,
+                     wr=wr, cw=(128 if crop128 else wc),
+                     num_beams=num_beams, logical_rows=logical_rows,
+                     logical_cols=logical_cols, pack2=pack2)
+    return scr
+
+
+def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
+                pp_ref, table_ref, lik_scratch, *, wr, num_beams,
+                logical_rows, logical_cols):
+    """Two particles, ONE [wr, 128] compute view: particle A's disc is
+    rolled into lanes [0, 64), B's into [64, 128); the cell pass runs
+    once with lane-vector params (per-half scalar splats), so its
+    ALU-bound per-cell work serves both particles.  Every arithmetic op
+    runs in the same order on the same values as the unpacked
+    :func:`_cell_pass`, so outputs are bitwise-identical wherever both
+    formulations update a cell (see supports_pack2 for the one
+    out-of-range-beam deviation)."""
+    r0A = pl.multiple_of(off_ref[iA], 8)
+    r0B = pl.multiple_of(off_ref[iB], 8)
+    uA = uoff_ref[iA]
+    uB = uoff_ref[iB]
+    wA = srcA[pl.ds(r0A, wr), :].astype(jnp.float32)
+    wB = srcB[pl.ds(r0B, wr), :].astype(jnp.float32)
+    rollA = pltpu.roll(wA, -uA, 1)
+    rollB = pltpu.roll(wB, 64 - uB, 1)
+    l64 = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1) < 64
+    packed = jnp.where(l64, rollA, rollB)
+
+    # likelihood phase B on the pre-update packed view (phase A indexed
+    # endpoints into each particle's half)
+    xi_s, yi_s, _use_s, odds_s = lik_scratch
+    _lik_gather_fold(packed, xi_s, yi_s, odds_s, kA, wr=wr, cw=128,
+                     num_beams=num_beams)
+    _lik_gather_fold(packed, xi_s, yi_s, odds_s, kB, wr=wr, cw=128,
+                     num_beams=num_beams)
+
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < 64
+
+    def l2(a, b):
+        return jnp.where(lrow, a, b)
+
+    params = (l2(pp_ref[iA, 0], pp_ref[iB, 0]),   # cx
+              l2(pp_ref[iA, 1], pp_ref[iB, 1]),   # cy
+              None,
+              l2(pp_ref[iA, 3], pp_ref[iB, 3]),   # theta + angles0
+              None, None,
+              pp_ref[iA, 6], pp_ref[iA, 7])       # dphi, 1/dphi (shared)
+    gofs = l2(uA, uB - 64)      # view lane -> grid column offset
+    r0v = l2(r0A, r0B)
+    outp = _cell_pass(packed, params, table_ref, wr=wr, cols=128,
+                      num_beams=num_beams, r0=r0v,
+                      logical_rows=logical_rows,
+                      logical_cols=logical_cols, c0=gofs)
+
+    outA = pltpu.roll(jnp.where(l64, outp, rollA), uA, 1)
+    outB = pltpu.roll(jnp.where(l64, rollB, outp), uB - 64, 1)
+    woA = dstA.at[pl.ds(r0A, wr), :]
+    woB = dstB.at[pl.ds(r0B, wr), :]
+    woA[...] = outA.astype(dstA.dtype)
+    woB[...] = outB.astype(dstB.dtype)
+
+
+def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
+                     grid_in, lik_ref, grid_out, xi_s=None, yi_s=None,
+                     use_s=None, odds_s=None, *, wr, cols, wc, num_beams,
+                     logical_rows, logical_cols, ppb, crop128,
+                     pack2=False):
     """``ppb`` particles per grid program (statically unrolled).
 
     Per-program overhead is the measured bottleneck of this kernel, not
@@ -425,6 +627,22 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
     program count 8x; the unrolled bodies run back-to-back without
     re-entering the grid loop."""
     j = pl.program_id(0)
+    scr = None if xi_s is None else (xi_s, yi_s, use_s, odds_s)
+    scr = _lik_prepare(pv_ref, table_ref, scr, j, ppb=ppb, wr=wr, wc=wc,
+                       crop128=crop128, num_beams=num_beams,
+                       logical_rows=logical_rows, logical_cols=logical_cols,
+                       pack2=pack2)
+    if pack2:
+        for k2 in range(ppb // 2):
+            kA, kB = 2 * k2, 2 * k2 + 1
+            iA, iB = j * ppb + kA, j * ppb + kB
+            _pack2_body(grid_in.at[iA], grid_in.at[iB], grid_out.at[iA],
+                        grid_out.at[iB], iA, iB, kA, kB, off_ref,
+                        uoff_ref, pp_ref, table_ref, scr, wr=wr,
+                        num_beams=num_beams, logical_rows=logical_rows,
+                        logical_cols=logical_cols)
+        _lik_finish_batched(odds_s, use_s, lik_ref)
+        return
     for k in range(ppb):
         i = j * ppb + k
         _resident_body(grid_in.at[i], grid_out.at[i], i, off_ref, coff_ref,
@@ -432,13 +650,16 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
                        cols=cols, wc=wc, num_beams=num_beams,
                        logical_rows=logical_rows,
                        logical_cols=logical_cols, ppb=ppb,
-                       crop128=crop128)
+                       crop128=crop128, lik_scratch=scr)
+    if scr is not None:
+        _lik_finish_batched(odds_s, use_s, lik_ref)
 
 
 def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
-                         table_ref, grid_in, lik_ref, grid_out, *, wr,
-                         cols, wc, num_beams, logical_rows, logical_cols,
-                         ppb, crop128):
+                         pv_ref, table_ref, grid_in, lik_ref, grid_out,
+                         xi_s=None, yi_s=None, use_s=None, odds_s=None, *,
+                         wr, cols, wc, num_beams, logical_rows,
+                         logical_cols, ppb, crop128, pack2=False):
     """Deferred-resample variant: particle i continues lineage
     ``anc_ref[i]`` — the systematic-resample ancestor gather becomes an
     index indirection here instead of a separate whole-map ``jnp.take``
@@ -451,6 +672,25 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
     steps, and split stores defeat vectorization).  Batched like
     :func:`_kernel_resident` (same measured per-program-overhead wall)."""
     j = pl.program_id(0)
+    scr = None if xi_s is None else (xi_s, yi_s, use_s, odds_s)
+    scr = _lik_prepare(pv_ref, table_ref, scr, j, ppb=ppb, wr=wr, wc=wc,
+                       crop128=crop128, num_beams=num_beams,
+                       logical_rows=logical_rows, logical_cols=logical_cols,
+                       pack2=pack2)
+    if pack2:
+        for k2 in range(ppb // 2):
+            kA, kB = 2 * k2, 2 * k2 + 1
+            iA, iB = j * ppb + kA, j * ppb + kB
+            aA, aB = anc_ref[iA], anc_ref[iB]
+            grid_out[iA] = grid_in[aA]
+            grid_out[iB] = grid_in[aB]
+            _pack2_body(grid_in.at[aA], grid_in.at[aB], grid_out.at[iA],
+                        grid_out.at[iB], iA, iB, kA, kB, off_ref,
+                        uoff_ref, pp_ref, table_ref, scr, wr=wr,
+                        num_beams=num_beams, logical_rows=logical_rows,
+                        logical_cols=logical_cols)
+        _lik_finish_batched(odds_s, use_s, lik_ref)
+        return
     for k in range(ppb):
         i = j * ppb + k
         a = anc_ref[i]
@@ -460,12 +700,15 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                        cols=cols, wc=wc, num_beams=num_beams,
                        logical_rows=logical_rows,
                        logical_cols=logical_cols, ppb=ppb,
-                       crop128=crop128)
+                       crop128=crop128, lik_scratch=scr)
+    if scr is not None:
+        _lik_finish_batched(odds_s, use_s, lik_ref)
 
 
-def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
-                    grid_in, lik_ref, grid_out, win, sem_in, sem_out,
-                    sem_band, *, wr, wc, num_beams, logical_rows,
+def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, pv_ref,
+                    table_ref, grid_in, lik_ref, grid_out, win, sem_in,
+                    sem_out, sem_band, xi_s=None, yi_s=None, use_s=None,
+                    odds_s=None, *, wr, wc, num_beams, logical_rows,
                     logical_cols, ppb, crop128, rows):
     """Deferred-lineage HBM kernel: the resample's map copy FUSED into the
     update's own DMA schedule (particle.rs:78-105 + map.rs:71-145 in one
@@ -556,6 +799,11 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
         for k in range(ppb):
             start_all(j + 1, (j + 1) % 2, k)
 
+    scr = None if xi_s is None else (xi_s, yi_s, use_s, odds_s)
+    scr = _lik_prepare(pv_ref, table_ref, scr, j, ppb=ppb, wr=wr, wc=wc,
+                       crop128=crop128, num_beams=num_beams,
+                       logical_rows=logical_rows, logical_cols=logical_cols)
+
     for k in range(ppb):
         i = j * ppb + k
         in_copy(j, slot, k).wait()
@@ -565,12 +813,15 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128)
+                        crop128=crop128, lik_scratch=scr)
         if band > 0:
             ba, bb = band_copies(j, slot, k)
             ba.wait()
             bb.wait()
         out_copy(j, slot, k).start()
+
+    if scr is not None:
+        _lik_finish_batched(odds_s, use_s, lik_ref)
 
     @pl.when(j == n - 1)
     def _():
@@ -578,9 +829,10 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, table_ref,
             out_copy(j, slot, k).wait()
 
 
-def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, table_ref, grid_in,
-                lik_ref, grid_out, win, sem_in, sem_out, *, wr, wc, num_beams,
-                logical_rows, logical_cols, ppb, crop128):
+def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
+                grid_in, lik_ref, grid_out, win, sem_in, sem_out,
+                xi_s=None, yi_s=None, use_s=None, odds_s=None, *, wr, wc,
+                num_beams, logical_rows, logical_cols, ppb, crop128):
     """HBM-grid variant: the per-particle window is BOTH row- and
     column-cropped ([wr, wc] with a 128-aligned column offset), so huge
     maps (config 3: 1000x1024 cells) move only the scan-disc
@@ -630,6 +882,13 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, table_ref, grid_in,
         for k in range(ppb):
             in_copy(j + 1, (j + 1) % 2, k).start()
 
+    # batched-lik phase A needs no window data — it runs while this
+    # program's in-DMAs are still in flight
+    scr = None if xi_s is None else (xi_s, yi_s, use_s, odds_s)
+    scr = _lik_prepare(pv_ref, table_ref, scr, j, ppb=ppb, wr=wr, wc=wc,
+                       crop128=crop128, num_beams=num_beams,
+                       logical_rows=logical_rows, logical_cols=logical_cols)
+
     for k in range(ppb):
         i = j * ppb + k
         in_copy(j, slot, k).wait()
@@ -643,8 +902,11 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, table_ref, grid_in,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128)
+                        crop128=crop128, lik_scratch=scr)
         out_copy(j, slot, k).start()
+
+    if scr is not None:
+        _lik_finish_batched(odds_s, use_s, lik_ref)
 
     @pl.when(j == n - 1)
     def _():
@@ -654,13 +916,14 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, table_ref, grid_in,
 
 @functools.partial(jax.jit, static_argnames=("spec", "num_beams",
                                              "max_range_m", "resident",
-                                             "interpret"))
+                                             "interpret", "pack2"))
 def fused_update(grids: Array, poses: Array, angles0: Array,
                  distances: Array, valid: Array, present: Array,
                  spec: GridSpec2D, num_beams: int, max_range_m: float,
                  resident: bool = True, interpret: bool = False,
                  ancestors: Array | None = None,
-                 dphi: Array | None = None):
+                 dphi: Array | None = None,
+                 pack2: bool | None = None):
     """One RBPF grid update for all particles.
 
     Args:
@@ -717,21 +980,6 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     r0 = jnp.clip(r0, 0, max(rows - wr, 0))
     r0 = (r0 // 8) * 8
 
-    # window column offset (128-block aligned): start one block left of
-    # the robot's block when the robot sits in its left half, so the
-    # disc margin is >= 64 cells on both sides
-    ccol = jnp.round(cxy[:, 0]).astype(jnp.int32)
-    blk = ccol // 128
-    c0 = (blk - jnp.where(ccol % 128 < 64, 1, 0)) * 128
-    c0 = jnp.clip(c0, 0, max(cols - wc, 0))
-    # crop128: in-window column of the robot-centered 128-lane compute
-    # view (the kernel rolls the window left by u0 and computes on
-    # lanes [0, 128) = grid columns [c0+u0, c0+u0+128))
-    u0 = jnp.clip(ccol - c0 - 64, 0, wc - 128)
-
-    table = encode_beam_table(distances / spec.resolution, valid, present,
-                              angles0, dphi)
-
     # particles per program: per-program dispatch overhead (~0.35 us
     # resident, ~1.3 us with window DMAs) dominates this kernel's actual
     # math — see _kernel_resident docstring.  8 divides every production
@@ -739,6 +987,56 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     # Big sets batch 16/program (measured another ~2% at 1,024; 32 gave
     # no more and doubles Mosaic compile time).
     ppb = 16 if (p % 16 == 0 and p >= 512) else 8 if p % 8 == 0 else 1
+
+    # lane-pack two particles per compute view where the geometry allows
+    # (0.05 m-class: the disc uses 47 of 128 lanes) — resident kernels
+    # only; pack2=False pins the unpacked formulation for A/B tests
+    pk2 = (resident
+           and supports_pack2(spec, max_range_m, cols, wc, crop128, ppb)
+           if pack2 is None else bool(pack2))
+    if pk2:
+        assert resident and supports_pack2(spec, max_range_m, cols, wc,
+                                           crop128, ppb)
+
+    # window column offset (128-block aligned): start one block left of
+    # the robot's block when the robot sits in its left half, so the
+    # disc margin is >= 64 cells on both sides
+    ccol = jnp.round(cxy[:, 0]).astype(jnp.int32)
+    blk = ccol // 128
+    c0 = (blk - jnp.where(ccol % 128 < 64, 1, 0)) * 128
+    c0 = jnp.clip(c0, 0, max(cols - wc, 0))
+    if pk2:
+        # pack2: u0 is the grid column of the particle's 64-lane half
+        # (roll offset); disc_half <= 31 guarantees coverage at clamps
+        u0 = jnp.clip(ccol - 32, 0, 64)
+    else:
+        # crop128: in-window column of the robot-centered 128-lane
+        # compute view (the kernel rolls the window left by u0 and
+        # computes on lanes [0, 128) = grid columns [c0+u0, c0+u0+128))
+        u0 = jnp.clip(ccol - c0 - 64, 0, wc - 128)
+
+    # per-particle VECTOR params for the batched-lik phase A (VMEM,
+    # f32): cx, cy, cos/sin theta, window row offset, and the compute
+    # view's effective column origin (c0 is 0 whenever wc == cols, so
+    # the same formula covers full-width windows and resident slices).
+    # Under pack2 the view origin alternates halves (even particles own
+    # lanes [0,64) of their pair's view, odd ones [64,128)) and slot 6
+    # carries the particle's first valid view lane.
+    if pk2:
+        parity = (jnp.arange(p, dtype=jnp.int32) % 2)
+        ceff = u0 - 64 * parity
+        xlo = (64 * parity).astype(jnp.float32)
+    else:
+        ceff = (c0 + u0) if crop128 else c0
+        xlo = jnp.zeros((p,), jnp.float32)
+    zero = jnp.zeros((p,), jnp.float32)
+    pv = jnp.stack([cxy[:, 0], cxy[:, 1],
+                    jnp.cos(theta), jnp.sin(theta),
+                    r0.astype(jnp.float32), ceff.astype(jnp.float32),
+                    xlo, zero], axis=-1)
+
+    table = encode_beam_table(distances / spec.resolution, valid, present,
+                              angles0, dphi)
 
     deferred = ancestors is not None
     if deferred and not resident:
@@ -754,12 +1052,12 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         kernel = functools.partial(
             _kernel_resident_anc, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
-            logical_cols=spec.cols, ppb=ppb, crop128=crop128)
+            logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2)
     elif resident:
         kernel = functools.partial(
             _kernel_resident, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
-            logical_cols=spec.cols, ppb=ppb, crop128=crop128)
+            logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2)
     else:
         kernel = functools.partial(
             _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
@@ -776,12 +1074,18 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         ]
         if deferred:
             scratch.append(pltpu.SemaphoreType.DMA((2, ppb, 2)))
+    if ppb >= 8:
+        # batched-lik scratch (xi/yi/use/odds): phase A writes per-beam
+        # endpoint indices for all ppb particles, phase C reads them
+        n_chunks = -(-num_beams // 128)
+        scratch += [pltpu.VMEM((ppb, 128 * n_chunks), jnp.float32)
+                    for _ in range(4)]
 
     if deferred:
         prefetch = [ancestors.astype(jnp.int32), r0, c0, u0]
     else:
         prefetch = [r0, c0, u0]
-    n_grid_in = 2 + len(prefetch)  # index of grids among pallas inputs
+    n_grid_in = 3 + len(prefetch)  # index of grids among pallas inputs
 
     if ppb >= 8:
         lik_spec = pl.BlockSpec((ppb, 128), lambda i, *_: (i, 0),
@@ -797,6 +1101,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             grid=(p // ppb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # pp [P, 8]
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # pv [P, 8]
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # table [8, 512]
                 pl.BlockSpec(memory_space=space),        # grids
             ],
@@ -823,7 +1128,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
                 if resident else 64 * 1024 * 1024),
         ),
         interpret=interpret,
-    )(*prefetch, pp, table, grids)
+    )(*prefetch, pp, pv, table, grids)
 
     return grids_out, lik[:, 0]
 
