@@ -305,8 +305,7 @@ def supports_pack2(spec: GridSpec2D, max_range_m: float, cols: int,
 
 
 def _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0, *, ppb,
-                     wr, cw, num_beams, logical_rows, logical_cols,
-                     pack2=False):
+                     wr, cw, num_beams, logical_rows, logical_cols):
     """Batched likelihood phase A: the per-beam endpoint index math of
     ALL ``ppb`` particles of this program as [ppb, 128] ops (one vreg
     op serves ppb particles — the [1,128]-per-particle formulation was
@@ -338,15 +337,7 @@ def _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0, *, ppb,
         useb = jnp.broadcast_to(use, (ppb, 128)) & in_b
         xi = jnp.floor(ex) - ceff
         yi = jnp.floor(ey) - r0v
-        if pack2:
-            # packed view: particle's valid columns are its 64-lane half
-            # (beams beyond max range drop their endpoint — the same
-            # out-of-window deviation the row axis already has)
-            xlo = blk[:, 6:7]
-            useb = useb & (yi >= 0.0) & (yi < wr) & (xi >= xlo) \
-                & (xi < xlo + 64.0)
-        else:
-            useb = useb & (yi >= 0.0) & (yi < wr) & (xi >= 0.0) & (xi < cw)
+        useb = useb & (yi >= 0.0) & (yi < wr) & (xi >= 0.0) & (xi < cw)
         xi_s[:, sl] = jnp.where(useb, xi, 0.0)
         yi_s[:, sl] = jnp.where(useb, yi, 0.0)
         use_s[:, sl] = useb.astype(jnp.float32)
@@ -387,7 +378,7 @@ def _lik_finish_batched(odds_s, use_s, lik_ref):
 
 
 def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
-               logical_rows, logical_cols, c0=None):
+               logical_rows, logical_cols, c0=None, return_inc=False):
     """Dense inverse-sensor-model integration: returns updated window f32.
 
     w32: window [wr, cols] f32 log-odds (pre-update).
@@ -447,6 +438,8 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     # no log-odds clamp: unbounded growth matches the reference and
     # measurably aids long-run localization (see ops.grid LOGODDS_CLAMP
     # note for the reverted experiment)
+    if return_inc:
+        return inc  # pack2: the caller adds in grid coordinates
     return w32 + inc
 
 
@@ -542,7 +535,7 @@ def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
 
 
 def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
-                 num_beams, logical_rows, logical_cols, pack2=False):
+                 num_beams, logical_rows, logical_cols):
     """Run batched-lik phase A for program ``j`` when scratch is present;
     returns the lik_scratch tuple (or None in the ppb<8 fallback)."""
     if scr is None:
@@ -552,38 +545,38 @@ def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
     _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0, ppb=ppb,
                      wr=wr, cw=(128 if crop128 else wc),
                      num_beams=num_beams, logical_rows=logical_rows,
-                     logical_cols=logical_cols, pack2=pack2)
+                     logical_cols=logical_cols)
     return scr
 
 
 def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
                 pp_ref, table_ref, lik_scratch, *, wr, num_beams,
                 logical_rows, logical_cols):
-    """Two particles, ONE [wr, 128] compute view: particle A's disc is
-    rolled into lanes [0, 64), B's into [64, 128); the cell pass runs
-    once with lane-vector params (per-half scalar splats), so its
-    ALU-bound per-cell work serves both particles.  Every arithmetic op
-    runs in the same order on the same values as the unpacked
-    :func:`_cell_pass`, so outputs are bitwise-identical wherever both
-    formulations update a cell (see supports_pack2 for the one
-    out-of-range-beam deviation)."""
+    """Two particles, ONE [wr, 128] cell-pass evaluation: particle A's
+    disc occupies view lanes [0, 64), B's [64, 128) (view lane l maps to
+    grid column l + gofs[l]).  The ALU-bound per-cell pass is pure
+    geometry — it reads NOTHING from the window — so the windows are
+    never packed at all: the pass computes the log-odds INCREMENT on the
+    virtual packed coordinates, and only ``inc`` is rolled back to grid
+    columns (2 dynamic rolls per pair; packing the windows themselves
+    measured ~84 us/update of roll+select cost at 1,024 particles,
+    benchmarks/prof_pack.py).  The likelihood gathers straight from the
+    raw per-particle windows — full-window semantics, identical to the
+    unpacked kernel.  Every arithmetic op runs in the same order on the
+    same values as unpacked :func:`_cell_pass`; outputs agree to fma-
+    contraction (1-2 ulp)."""
     r0A = pl.multiple_of(off_ref[iA], 8)
     r0B = pl.multiple_of(off_ref[iB], 8)
     uA = uoff_ref[iA]
     uB = uoff_ref[iB]
     wA = srcA[pl.ds(r0A, wr), :].astype(jnp.float32)
     wB = srcB[pl.ds(r0B, wr), :].astype(jnp.float32)
-    rollA = pltpu.roll(wA, -uA, 1)
-    rollB = pltpu.roll(wB, 64 - uB, 1)
-    l64 = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1) < 64
-    packed = jnp.where(l64, rollA, rollB)
 
-    # likelihood phase B on the pre-update packed view (phase A indexed
-    # endpoints into each particle's half)
+    # likelihood phase B on the raw pre-update windows
     xi_s, yi_s, _use_s, odds_s = lik_scratch
-    _lik_gather_fold(packed, xi_s, yi_s, odds_s, kA, wr=wr, cw=128,
+    _lik_gather_fold(wA, xi_s, yi_s, odds_s, kA, wr=wr, cw=128,
                      num_beams=num_beams)
-    _lik_gather_fold(packed, xi_s, yi_s, odds_s, kB, wr=wr, cw=128,
+    _lik_gather_fold(wB, xi_s, yi_s, odds_s, kB, wr=wr, cw=128,
                      num_beams=num_beams)
 
     lrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < 64
@@ -599,17 +592,19 @@ def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
               pp_ref[iA, 6], pp_ref[iA, 7])       # dphi, 1/dphi (shared)
     gofs = l2(uA, uB - 64)      # view lane -> grid column offset
     r0v = l2(r0A, r0B)
-    outp = _cell_pass(packed, params, table_ref, wr=wr, cols=128,
+    incp = _cell_pass(None, params, table_ref, wr=wr, cols=128,
                       num_beams=num_beams, r0=r0v,
                       logical_rows=logical_rows,
-                      logical_cols=logical_cols, c0=gofs)
+                      logical_cols=logical_cols, c0=gofs,
+                      return_inc=True)
 
-    outA = pltpu.roll(jnp.where(l64, outp, rollA), uA, 1)
-    outB = pltpu.roll(jnp.where(l64, rollB, outp), uB - 64, 1)
+    l64 = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1) < 64
+    incA = pltpu.roll(jnp.where(l64, incp, 0.0), uA, 1)
+    incB = pltpu.roll(jnp.where(l64, 0.0, incp), uB - 64, 1)
     woA = dstA.at[pl.ds(r0A, wr), :]
     woB = dstB.at[pl.ds(r0B, wr), :]
-    woA[...] = outA.astype(dstA.dtype)
-    woB[...] = outB.astype(dstB.dtype)
+    woA[...] = (wA + incA).astype(dstA.dtype)
+    woB[...] = (wB + incB).astype(dstB.dtype)
 
 
 def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
@@ -630,8 +625,7 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
     scr = None if xi_s is None else (xi_s, yi_s, use_s, odds_s)
     scr = _lik_prepare(pv_ref, table_ref, scr, j, ppb=ppb, wr=wr, wc=wc,
                        crop128=crop128, num_beams=num_beams,
-                       logical_rows=logical_rows, logical_cols=logical_cols,
-                       pack2=pack2)
+                       logical_rows=logical_rows, logical_cols=logical_cols)
     if pack2:
         for k2 in range(ppb // 2):
             kA, kB = 2 * k2, 2 * k2 + 1
@@ -675,8 +669,7 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
     scr = None if xi_s is None else (xi_s, yi_s, use_s, odds_s)
     scr = _lik_prepare(pv_ref, table_ref, scr, j, ppb=ppb, wr=wr, wc=wc,
                        crop128=crop128, num_beams=num_beams,
-                       logical_rows=logical_rows, logical_cols=logical_cols,
-                       pack2=pack2)
+                       logical_rows=logical_rows, logical_cols=logical_cols)
     if pack2:
         for k2 in range(ppb // 2):
             kA, kB = 2 * k2, 2 * k2 + 1
@@ -1019,21 +1012,15 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     # f32): cx, cy, cos/sin theta, window row offset, and the compute
     # view's effective column origin (c0 is 0 whenever wc == cols, so
     # the same formula covers full-width windows and resident slices).
-    # Under pack2 the view origin alternates halves (even particles own
-    # lanes [0,64) of their pair's view, odd ones [64,128)) and slot 6
-    # carries the particle's first valid view lane.
-    if pk2:
-        parity = (jnp.arange(p, dtype=jnp.int32) % 2)
-        ceff = u0 - 64 * parity
-        xlo = (64 * parity).astype(jnp.float32)
-    else:
-        ceff = (c0 + u0) if crop128 else c0
-        xlo = jnp.zeros((p,), jnp.float32)
+    # Under pack2 the likelihood gathers from the RAW per-particle
+    # windows (full-width, so ceff = c0 = 0 falls out of the generic
+    # formula); u0 is only the pack roll offset.
+    ceff = (c0 + u0) if crop128 else c0
     zero = jnp.zeros((p,), jnp.float32)
     pv = jnp.stack([cxy[:, 0], cxy[:, 1],
                     jnp.cos(theta), jnp.sin(theta),
                     r0.astype(jnp.float32), ceff.astype(jnp.float32),
-                    xlo, zero], axis=-1)
+                    zero, zero], axis=-1)
 
     table = encode_beam_table(distances / spec.resolution, valid, present,
                               angles0, dphi)
