@@ -1,0 +1,337 @@
+"""Scratch: cell-pass ALU trim experiments at the 0.02 m HBM bench point
+(1024p, ppb=16, bf16, crop128 packed rolls, batched lik — mirrors the
+CURRENT _kernel_hbm structure; standalone pallas_calls, never re-jits).
+
+Variants:
+  base    current formulation (should track fused_update's ~677 us)
+  g2      beam-table gather with SHARED index math: one `bins & 127` and
+          one `bins >> 7` for all 3 chunks + per-chunk eq/select
+          (replaces per-chunk sub/&127 + two range compares + and)
+  recip   atan2 divide -> rsqrt-square reciprocal + 1 Newton step
+  both    g2 + recip
+
+Usage: python -m benchmarks.prof_trim [variant ...]
+"""
+
+import functools
+import math as pymath
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slamrs_tpu.ops.fused import (_lik_finish_batched, _lik_gather_fold,
+                                  _lik_idx_batched, encode_beam_table,
+                                  window_rows)
+from slamrs_tpu.ops.grid import (ADDITIONAL_STEPS, L_FREE, L_OCCUPIED,
+                                 SENSOR_MAXDIST, TOLERANCE_CELLS,
+                                 GridSpec2D)
+
+P, RES, WIDTH = 1024, 0.02, 4.0
+NB = 360
+MAXR = 1.0
+DT = jnp.bfloat16
+PPB = 16
+N_CHUNKS = -(-NB // 128)
+
+spec = GridSpec2D(-WIDTH / 2, -WIDTH / 2, WIDTH, WIDTH, RES)
+rows, cols = spec.rows, (spec.cols + 127) // 128 * 128
+wr = window_rows(spec, MAXR)
+wr = min(wr, rows - rows % 8 if rows % 8 else rows)
+disc_half = int(pymath.ceil(MAXR / spec.resolution)) + ADDITIONAL_STEPS + 1
+wc = cols if (cols <= 256 or disc_half > 64) else 256
+crop128 = wc >= 256 and 2 * disc_half + 1 + 8 <= 128
+print(f"grid {rows}x{cols}, wr={wr} wc={wc} crop128={crop128}",
+      file=sys.stderr)
+
+key = jax.random.key(0)
+poses = jnp.concatenate([
+    jax.random.uniform(key, (P, 2), jnp.float32, -0.3, 0.3),
+    jax.random.uniform(jax.random.fold_in(key, 1), (P, 1), jnp.float32,
+                       -3.0, 3.0)], axis=1)
+angles0 = jnp.float32(0.0)
+dphi = jnp.float32(2 * pymath.pi / NB)
+dist = jax.random.uniform(jax.random.fold_in(key, 2), (NB,), jnp.float32,
+                          0.2, 0.99)
+valid = jnp.ones((NB,), bool)
+present = jnp.ones((NB,), bool)
+
+
+def setup(poses):
+    pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
+    cxy = (poses[:, 0:2] - pos) / spec.resolution
+    theta = poses[:, 2]
+    pp = jnp.stack([cxy[:, 0], cxy[:, 1], theta,
+                    theta + jnp.broadcast_to(angles0, (P,)).astype(
+                        jnp.float32),
+                    jnp.cos(theta), jnp.sin(theta),
+                    jnp.broadcast_to(dphi, (P,)),
+                    jnp.broadcast_to(1.0 / dphi, (P,))], axis=-1)
+    r0 = jnp.round(cxy[:, 1]).astype(jnp.int32) - wr // 2
+    r0 = jnp.clip(r0, 0, max(rows - wr, 0))
+    r0 = (r0 // 8) * 8
+    ccol = jnp.round(cxy[:, 0]).astype(jnp.int32)
+    blk = ccol // 128
+    c0 = (blk - jnp.where(ccol % 128 < 64, 1, 0)) * 128
+    c0 = jnp.clip(c0, 0, max(cols - wc, 0))
+    u0 = jnp.clip(ccol - c0 - 64, 0, wc - 128)
+    ceff = c0 + u0
+    zero = jnp.zeros((P,), jnp.float32)
+    pv = jnp.stack([cxy[:, 0], cxy[:, 1], jnp.cos(theta), jnp.sin(theta),
+                    r0.astype(jnp.float32), ceff.astype(jnp.float32),
+                    zero, zero], axis=-1)
+    table = encode_beam_table(dist / spec.resolution, valid, present,
+                              angles0, dphi)
+    return pp, pv, r0, c0, u0, table
+
+
+pp_h, pv_h, r0_h, c0_h, u0_h, table_h = jax.jit(setup)(poses)
+
+
+def _atan2_v(y, x, *, recip):
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    if recip:
+        hs = jnp.maximum(hi, 1e-30)
+        r = jax.lax.rsqrt(hs)
+        r = r * r
+        r = r * (2.0 - hs * r)   # 1 Newton step: ~1e-7 rel
+        z = lo * r
+    else:
+        z = lo / jnp.maximum(hi, 1e-30)
+    z2 = z * z
+    a = z * (0.99997726 + z2 * (-0.33262347 + z2 * (
+        0.19354346 + z2 * (-0.11643287 + z2 * (
+            0.05265332 - z2 * 0.01172120)))))
+    a = jnp.where(ay > ax, (pymath.pi / 2) - a, a)
+    a = jnp.where(x < 0, pymath.pi - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
+def _gather_beam_v(table_ref, bins, rr, cc, *, g2):
+    if not g2:
+        out = jnp.zeros((rr, cc), jnp.float32)
+        for c in range(3):
+            subs = []
+            for jj in range(cc // 128):
+                subs.append((bins[:, jj * 128:(jj + 1) * 128] - c * 128)
+                            & 127)
+            in_chunk = (bins >= c * 128) & (bins < (c + 1) * 128)
+            tb = jnp.broadcast_to(table_ref[0:1, c * 128:(c + 1) * 128],
+                                  (rr, 128))
+            parts = [jnp.take_along_axis(tb, sub, axis=1) for sub in subs]
+            v = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                 else parts[0])
+            out = jnp.where(in_chunk, v, out)
+        return out
+    sub = bins & 127
+    cid = jax.lax.shift_right_logical(bins, 7)
+    out = jnp.zeros((rr, cc), jnp.float32)
+    for c in range(3):
+        tb = jnp.broadcast_to(table_ref[0:1, c * 128:(c + 1) * 128],
+                              (rr, 128))
+        v = jnp.take_along_axis(tb, sub, axis=1)
+        out = jnp.where(cid == c, v, out)
+    return out
+
+
+def _cell_pass_v(w32, params, table_ref, *, r0, c0, g2, recip):
+    cx, cy, _t, ta, _ct, _st, dphi_, inv_dphi = params
+    two_pi = 2.0 * pymath.pi
+    cc = 128
+    wy = jax.lax.broadcasted_iota(jnp.int32, (wr, cc), 0).astype(
+        jnp.float32) + r0.astype(jnp.float32)
+    wx = jax.lax.broadcasted_iota(jnp.int32, (wr, cc), 1).astype(
+        jnp.float32) + c0.astype(jnp.float32)
+    dx = wx + 0.5 - cx
+    dy = wy + 0.5 - cy
+    r2 = dx * dx + dy * dy
+    phi = _atan2_v(dy, dx, recip=recip)
+    rel = phi - ta
+    rel = rel - two_pi * jnp.floor(rel * (1.0 / two_pi))
+    bins_f = jnp.round(rel * inv_dphi)
+    bins_f = jnp.where(bins_f >= two_pi * inv_dphi - 0.5, 0.0, bins_f)
+    bins = bins_f.astype(jnp.int32)
+    d_enc = _gather_beam_v(table_ref, bins, wr, cc, g2=g2)
+    was_hit = d_enc > 0.0
+    present_ = d_enc != 0.0
+    d = jnp.abs(d_enc)
+    half = TOLERANCE_CELLS / 2.0
+    dm = jnp.maximum(d - half, 0.0)
+    a_sq = jnp.where(was_hit, dm * dm, d * d)
+    dp = d + half
+    b_sq = jnp.where(was_hit, dp * dp, -1.0)
+    inc = jnp.where(r2 < a_sq, L_FREE,
+                    jnp.where(r2 <= b_sq, L_OCCUPIED, 0.0))
+    dens = jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2, 0.25))
+                       * inv_dphi)
+    in_bounds = (wy < float(spec.rows)) & (wx < float(spec.cols))
+    inc = jnp.where(present_ & in_bounds, inc * dens, 0.0)
+    return w32 + inc
+
+
+def _window_compute_v(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
+                      table_ref, scr, *, g2, recip):
+    u0 = uoff_ref[i]
+    pairs = pltpu.bitcast(w_in[...], jnp.int32)
+    rolledp = pltpu.roll(pairs, -u0, 1)
+    w32 = pltpu.bitcast(rolledp[:, :128], jnp.bfloat16).astype(jnp.float32)
+    xi_s, yi_s, _use_s, odds_s = scr
+    _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=128,
+                     num_beams=NB)
+    params = tuple(pp_ref[i, t] for t in range(8))
+    out = _cell_pass_v(w32, params, table_ref, r0=r0, c0=c0 + u0,
+                       g2=g2, recip=recip)
+    out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
+    w_out[...] = pltpu.bitcast(
+        pltpu.roll(jnp.concatenate([out_p, rolledp[:, 128:]], axis=1),
+                   u0, 1), jnp.bfloat16)
+
+
+def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
+              grid_in, lik_ref, grid_out, win, sem_in, sem_out,
+              xi_s, yi_s, use_s, odds_s, *, g2, recip):
+    j = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = j % 2
+
+    def in_copy(jj, s, k):
+        p_idx = jj * PPB + k
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+        cj = pl.multiple_of(coff_ref[p_idx], 128)
+        return pltpu.make_async_copy(
+            grid_in.at[p_idx, pl.ds(rj, wr), pl.ds(cj, wc)], win.at[s, k],
+            sem_in.at[s, k])
+
+    def out_copy(jj, s, k):
+        p_idx = jj * PPB + k
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+        cj = pl.multiple_of(coff_ref[p_idx], 128)
+        return pltpu.make_async_copy(
+            win.at[s, k], grid_out.at[p_idx, pl.ds(rj, wr), pl.ds(cj, wc)],
+            sem_out.at[s, k])
+
+    @pl.when(j == 0)
+    def _():
+        for k in range(PPB):
+            in_copy(0, 0, k).start()
+
+    @pl.when(j >= 1)
+    def _():
+        for k in range(PPB):
+            out_copy(j - 1, (j - 1) % 2, k).wait()
+
+    @pl.when(j + 1 < n)
+    def _():
+        for k in range(PPB):
+            in_copy(j + 1, (j + 1) % 2, k).start()
+
+    scr = (xi_s, yi_s, use_s, odds_s)
+    i0 = pl.multiple_of(j * PPB, 8)
+    _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0, ppb=PPB,
+                     wr=wr, cw=128, num_beams=NB, logical_rows=spec.rows,
+                     logical_cols=spec.cols)
+
+    for k in range(PPB):
+        i = j * PPB + k
+        in_copy(j, slot, k).wait()
+        r0 = pl.multiple_of(off_ref[i], 8)
+        c0 = pl.multiple_of(coff_ref[i], 128)
+        _window_compute_v(win.at[slot, k], win.at[slot, k], i, k, r0, c0,
+                          uoff_ref, pp_ref, table_ref, scr, g2=g2,
+                          recip=recip)
+        out_copy(j, slot, k).start()
+
+    _lik_finish_batched(odds_s, use_s, lik_ref)
+
+    @pl.when(j == n - 1)
+    def _():
+        for k in range(PPB):
+            out_copy(j, slot, k).wait()
+
+
+def call(grids, *, g2=False, recip=False):
+    kernel = functools.partial(_kernel_v, g2=g2, recip=recip)
+    scratch = [
+        pltpu.VMEM((2, PPB, wr, wc), grids.dtype),
+        pltpu.SemaphoreType.DMA((2, PPB)),
+        pltpu.SemaphoreType.DMA((2, PPB)),
+    ] + [pltpu.VMEM((PPB, 128 * N_CHUNKS), jnp.float32) for _ in range(4)]
+    lik, grids_out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(P // PPB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((PPB, 128), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 128), jnp.float32),
+            jax.ShapeDtypeStruct(grids.shape, grids.dtype),
+        ],
+        input_output_aliases={6: 1},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(r0_h, c0_h, u0_h, pp_h, pv_h, table_h, grids)
+    return grids_out, lik[:, 0]
+
+
+def marginal(factory, state, n1=30, n2=230, reps=3):
+    r1, r2 = factory(n1), factory(n2)
+    float(r1(state))
+    float(r2(state))
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(r1(state))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(r2(state))
+        tb = time.perf_counter() - t0
+        diffs.append((tb - ta) / (n2 - n1))
+    diffs.sort()
+    return diffs[len(diffs) // 2]
+
+
+def run_variant(name, **kw):
+    def factory(n):
+        @jax.jit
+        def run(grids):
+            def body(g, _):
+                g2_, lik = call(g, **kw)
+                return g2_, jnp.sum(lik)
+            g, liks = jax.lax.scan(body, grids, None, length=n)
+            return jnp.sum(liks) + jnp.float32(g[0, 0, 0])
+        return run
+
+    dt = marginal(factory, jnp.zeros((P, rows, cols), DT))
+    print(f"{name}: {dt * 1e6:.1f} us/update")
+
+
+if __name__ == "__main__":
+    variants = sys.argv[1:] or ["base", "g2", "recip", "both"]
+    for v in variants:
+        if v == "base":
+            run_variant(v)
+        elif v == "g2":
+            run_variant(v, g2=True)
+        elif v == "recip":
+            run_variant(v, recip=True)
+        elif v == "both":
+            run_variant(v, g2=True, recip=True)

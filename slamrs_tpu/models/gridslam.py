@@ -73,16 +73,17 @@ class GridSlamConfig:
     # forces HBM windows — REQUIRED under vmap (the per-world slice looks
     # small at trace time but the batched array is worlds x bigger)
     fused_resident: bool | None = None
-    # fused-HBM resample mechanism.  None = auto = the staged
-    # copy-on-write pass (ops.cow — only duplicated maps move); True
-    # pins CoW explicitly; False (set by the graph compiler under vmap —
-    # the copy kernel is per-call) falls back to the whole-set gather
-    # behind an N_eff cond.  "deferred" pins the fused-lineage HBM
-    # kernel (ops.fused._kernel_hbm_anc) where the geometry allows:
-    # correct and fully tested, but MEASURED SLOWER than CoW at the
-    # 0.02 m bench point (a lineage kernel cannot alias its in/out grid
-    # buffers, and non-aliased output costs ~318 us — more than the
-    # ~230 us CoW pass it replaces; benchmarks/README.md).
+    # fused-HBM resample mechanism.  None = auto = the ALIASED
+    # staged-lineage kernel (ops.fused._kernel_hbm_staged — unique
+    # ancestor maps staged to HBM in the kernel prologue, every write in
+    # place) where the geometry allows, else the staged copy-on-write
+    # pass (ops.cow — only duplicated maps move).  "staged" pins the
+    # lineage kernel; True pins CoW; False (set by the graph compiler
+    # under vmap — the copy/lineage kernels are per-call) falls back to
+    # the whole-set gather behind an N_eff cond.  "deferred" pins the
+    # older NON-aliased band kernel (ops.fused._kernel_hbm_anc): correct
+    # and tested, but a measured dead end (no aliasing costs ~318 us;
+    # benchmarks/README.md) — kept as documentation.
     resample_cow: bool | str | None = None
     # mesh-sharded fleet resampling mode: "local" relabels slots
     # local-first so only spilled unique maps cross devices
@@ -201,16 +202,18 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
             resident = config.fused_resident
         else:
             resident = fits_vmem_resident(grid_bytes)
-        # HBM grids CAN defer lineage into the kernel too
-        # (resample_cow="deferred", full-width-window geometries only),
-        # letting the resample's map copy ride the kernel's DMA schedule
-        # as HBM-to-HBM band copies.  Measured SLOWER than staged CoW at
-        # 0.02 m (5,725 vs 5,935 ticks/s): a lineage kernel cannot alias
-        # its in/out grid buffers, and the non-aliased output alone costs
-        # ~318 us (benchmarks/README.md) — so auto keeps CoW and this
-        # stays an explicit opt-in.
+        # HBM grids defer lineage into the kernel where the geometry
+        # allows (full-width windows): auto (resample_cow=None) and
+        # "staged" use the ALIASED staged-lineage kernel
+        # (ops.fused._kernel_hbm_staged — unique ancestor maps staged to
+        # an HBM buffer in the kernel prologue, all writes in place),
+        # which replaces the separate ~300 us/frame CoW pass at 0.02 m.
+        # "deferred" keeps the older non-aliased band kernel
+        # (_kernel_hbm_anc — measured dead end, benchmarks/README.md).
+        hbm_lineage = "bands" if config.resample_cow == "deferred" \
+            else "staged"
         deferred = resident or (
-            config.resample_cow == "deferred"
+            config.resample_cow in (None, "deferred", "staged")
             and supports_deferred_hbm(spec, config.max_scan_range,
                                       state.grids.shape[-2],
                                       state.grids.shape[-1]))
@@ -227,7 +230,8 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
                 state.grids, new_poses, scan.angles[..., 0], scan.distances,
                 scan.valid, scan.present, spec, nb,
                 config.max_scan_range, resident=resident, interpret=interpret,
-                ancestors=state.ancestors if deferred else None, dphi=dphi)
+                ancestors=state.ancestors if deferred else None, dphi=dphi,
+                hbm_lineage=hbm_lineage)
     else:
         log_lik = jax.vmap(
             lambda g, q: grid_log_likelihood(g, spec, q, scan.angles,

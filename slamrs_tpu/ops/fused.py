@@ -822,6 +822,197 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, pv_ref,
             out_copy(j, slot, k).wait()
 
 
+def staged_lineage_plan(ancestors: Array):
+    """Host-side (traced) prep for :func:`_kernel_hbm_staged`: per-particle
+    stage slots, the unique-source list, and the staged count.
+
+    ``ancestors`` is the pending lineage (i32[P]).  Segments of equal
+    value (systematic resample output is non-decreasing; identity on
+    skip) become stage slots; a length-1 segment that is its own
+    ancestor (``anc[i] == i``) needs no staging at all — particle i
+    reads its own slot in place, which is sound because grid programs
+    run sequentially and no other program consumes slot i.  Unsorted
+    inputs stay CORRECT (a value split across segments is staged once
+    per segment — wasteful, never wrong; ``anc[i] == i`` positions are
+    in-place no matter where the value appears elsewhere, since every
+    OTHER consumer reads its own prologue-staged copy).
+
+    Returns (spos i32[P] — stage slot per particle, -1 = in-place;
+    usrc i32[P] — source map index per stage slot (tail unused);
+    count i32[1]).
+    """
+    anc = ancestors.astype(jnp.int32)
+    p = anc.shape[0]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), anc[:-1]])
+    nxt = jnp.concatenate([anc[1:], jnp.full((1,), -1, jnp.int32)])
+    first = anc != prev
+    lone_self = first & (anc != nxt) & (anc == idx)
+    staged_first = first & ~lone_self
+    srank = jnp.cumsum(staged_first.astype(jnp.int32)) - 1
+    spos = jnp.where(lone_self, jnp.int32(-1), srank)
+    usrc = jnp.zeros((p,), jnp.int32).at[
+        jnp.where(staged_first, srank, p)].set(anc, mode="drop")
+    count = srank[-1:] + 1
+    return spos, usrc, count
+
+
+def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
+                       uoff_ref, pp_ref, pv_ref, table_ref, grid_in,
+                       lik_ref, grid_out, stage, win, sem_in, sem_out,
+                       sem_band, sem_stage, xi_s=None, yi_s=None,
+                       use_s=None, odds_s=None, *, wr, wc, num_beams,
+                       logical_rows, logical_cols, ppb, crop128, rows):
+    """Deferred-lineage HBM kernel WITH in-place aliasing — the design
+    :func:`_kernel_hbm_anc` measured out of reach (its docstring: a
+    lineage kernel cannot alias its in/out grid buffers, and the
+    non-aliased 100 MB output alone cost ~318 us).  The new information
+    that unlocks aliasing: resampled lineages are extremely CONCENTRATED
+    at the configs where the resample cost matters (0.02 m: median
+    N_eff ~11/1,024, so a handful of unique ancestors serve the whole
+    set).  Program 0 therefore copies the unique ancestor maps
+    (typically ~11-40, dynamically counted) to an HBM ``stage`` buffer
+    BEFORE any program writes; after that every read either comes from
+    ``stage`` (lineage particles) or from the particle's OWN slot
+    (``anc[i] == i`` singletons, read by program i before it overwrites
+    it — grid programs run sequentially), so in-place writes can never
+    clobber data a later program still needs, and
+    ``input_output_aliases`` keeps the whole-set output free.
+
+    Row bands outside the window are ``stage -> grid_out`` copies using
+    the same disjoint static-band construction as ``_kernel_hbm_anc``
+    (bands [0, rows-wr) and [wr, rows); the window write-back overwrites
+    the overlap, so it starts only after the bands land); in-place
+    singletons skip the bands entirely — their out-of-window rows are
+    already correct.  Geometry gate: :func:`supports_deferred_hbm`
+    (full-width windows, ``rows - wr <= wr``).
+
+    Parity surface: ParticleFilter::resample's map clone
+    (slamrs/slam/src/grid/particle.rs:78-105) fused into
+    GridMapSlam::update's weight+integrate pass (slam.rs:45-75).
+    """
+    band = rows - wr
+    j = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = j % 2
+
+    def stage_copy(r):
+        return pltpu.make_async_copy(grid_in.at[usrc_ref[r]], stage.at[r],
+                                     sem_stage)
+
+    @pl.when(j == 0)
+    def _():
+        # stage the unique ancestor maps before ANY program writes; all
+        # window/band reads below come from ``stage`` or from a slot's
+        # own (not-yet-overwritten) data
+        cnt = cnt_ref[0]
+        jax.lax.fori_loop(
+            0, cnt, lambda r, c: (stage_copy(r).start(), c)[1], 0,
+            unroll=False)
+        jax.lax.fori_loop(
+            0, cnt, lambda r, c: (stage_copy(r).wait(), c)[1], 0,
+            unroll=False)
+
+    def in_copy_start(jj, s, k):
+        p_idx = jj * ppb + k
+        sp = spos_ref[p_idx]
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+
+        @pl.when(sp >= 0)
+        def _():
+            pltpu.make_async_copy(stage.at[sp, pl.ds(rj, wr), :],
+                                  win.at[s, k], sem_in.at[s, k]).start()
+
+        @pl.when(sp < 0)
+        def _():
+            pltpu.make_async_copy(grid_in.at[p_idx, pl.ds(rj, wr), :],
+                                  win.at[s, k], sem_in.at[s, k]).start()
+
+    def in_copy_wait(jj, s, k):
+        p_idx = jj * ppb + k
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+        # both descriptors move the same [wr, wc] bytes; wait via the
+        # own-slot one regardless of which start fired
+        pltpu.make_async_copy(grid_in.at[p_idx, pl.ds(rj, wr), :],
+                              win.at[s, k], sem_in.at[s, k]).wait()
+
+    def band_copies(jj, s, k):
+        p_idx = jj * ppb + k
+        sp = spos_ref[p_idx]
+        return (
+            pltpu.make_async_copy(stage.at[sp, pl.ds(0, band), :],
+                                  grid_out.at[p_idx, pl.ds(0, band), :],
+                                  sem_band.at[s, k, 0]),
+            pltpu.make_async_copy(stage.at[sp, pl.ds(wr, band), :],
+                                  grid_out.at[p_idx, pl.ds(wr, band), :],
+                                  sem_band.at[s, k, 1]),
+        )
+
+    def out_copy(jj, s, k):
+        p_idx = jj * ppb + k
+        rj = pl.multiple_of(off_ref[p_idx], 8)
+        return pltpu.make_async_copy(
+            win.at[s, k], grid_out.at[p_idx, pl.ds(rj, wr), :],
+            sem_out.at[s, k])
+
+    def start_all(jj, s, k):
+        in_copy_start(jj, s, k)
+        if band > 0:
+            @pl.when(spos_ref[jj * ppb + k] >= 0)
+            def _():
+                ba, bb = band_copies(jj, s, k)
+                ba.start()
+                bb.start()
+
+    @pl.when(j == 0)
+    def _():
+        for k in range(ppb):
+            start_all(0, 0, k)
+
+    # slot (j+1)%2's window buffers were written back by program j-1;
+    # those out-DMAs must land before the next in-DMAs overwrite them
+    @pl.when(j >= 1)
+    def _():
+        for k in range(ppb):
+            out_copy(j - 1, (j - 1) % 2, k).wait()
+
+    @pl.when(j + 1 < n)
+    def _():
+        for k in range(ppb):
+            start_all(j + 1, (j + 1) % 2, k)
+
+    scr = None if xi_s is None else (xi_s, yi_s, use_s, odds_s)
+    scr = _lik_prepare(pv_ref, table_ref, scr, j, ppb=ppb, wr=wr, wc=wc,
+                       crop128=crop128, num_beams=num_beams,
+                       logical_rows=logical_rows, logical_cols=logical_cols)
+
+    for k in range(ppb):
+        i = j * ppb + k
+        in_copy_wait(j, slot, k)
+        r0 = pl.multiple_of(off_ref[i], 8)
+        _window_compute(win.at[slot, k], win.at[slot, k], i, k, r0, None,
+                        uoff_ref, pp_ref, table_ref, lik_ref, wr=wr,
+                        wc=wc, num_beams=num_beams,
+                        logical_rows=logical_rows,
+                        logical_cols=logical_cols, ppb=ppb,
+                        crop128=crop128, lik_scratch=scr)
+        if band > 0:
+            @pl.when(spos_ref[i] >= 0)
+            def _():
+                ba, bb = band_copies(j, slot, k)
+                ba.wait()
+                bb.wait()
+        out_copy(j, slot, k).start()
+
+    if scr is not None:
+        _lik_finish_batched(odds_s, use_s, lik_ref)
+
+    @pl.when(j == n - 1)
+    def _():
+        for k in range(ppb):
+            out_copy(j, slot, k).wait()
+
+
 def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                 grid_in, lik_ref, grid_out, win, sem_in, sem_out,
                 xi_s=None, yi_s=None, use_s=None, odds_s=None, *, wr, wc,
@@ -909,14 +1100,16 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
 
 @functools.partial(jax.jit, static_argnames=("spec", "num_beams",
                                              "max_range_m", "resident",
-                                             "interpret", "pack2"))
+                                             "interpret", "pack2",
+                                             "hbm_lineage"))
 def fused_update(grids: Array, poses: Array, angles0: Array,
                  distances: Array, valid: Array, present: Array,
                  spec: GridSpec2D, num_beams: int, max_range_m: float,
                  resident: bool = True, interpret: bool = False,
                  ancestors: Array | None = None,
                  dphi: Array | None = None,
-                 pack2: bool | None = None):
+                 pack2: bool | None = None,
+                 hbm_lineage: str = "staged"):
     """One RBPF grid update for all particles.
 
     Args:
@@ -1026,15 +1219,16 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
                               angles0, dphi)
 
     deferred = ancestors is not None
+    staged = deferred and not resident and hbm_lineage == "staged"
     if deferred and not resident:
-        # fused-lineage HBM kernel: full-width windows + disjoint static
-        # row bands only (see _kernel_hbm_anc docstring); callers gate
+        # fused-lineage HBM kernels: full-width windows + disjoint static
+        # row bands only (see kernel docstrings); callers gate
         assert wc == cols, "deferred HBM lineage needs full-width windows"
         assert rows - wr <= wr, "deferred HBM lineage needs wr >= rows-wr"
         kernel = functools.partial(
-            _kernel_hbm_anc, wr=wr, wc=wc, num_beams=num_beams,
-            logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-            crop128=crop128, rows=rows)
+            _kernel_hbm_staged if staged else _kernel_hbm_anc, wr=wr,
+            wc=wc, num_beams=num_beams, logical_rows=spec.rows,
+            logical_cols=spec.cols, ppb=ppb, crop128=crop128, rows=rows)
     elif deferred:
         kernel = functools.partial(
             _kernel_resident_anc, wr=wr, cols=cols, wc=wc,
@@ -1061,6 +1255,8 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         ]
         if deferred:
             scratch.append(pltpu.SemaphoreType.DMA((2, ppb, 2)))
+        if staged:
+            scratch.append(pltpu.SemaphoreType.DMA)  # stage prologue
     if ppb >= 8:
         # batched-lik scratch (xi/yi/use/odds): phase A writes per-beam
         # endpoint indices for all ppb particles, phase C reads them
@@ -1068,7 +1264,10 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         scratch += [pltpu.VMEM((ppb, 128 * n_chunks), jnp.float32)
                     for _ in range(4)]
 
-    if deferred:
+    if staged:
+        spos, usrc, cnt = staged_lineage_plan(ancestors)
+        prefetch = [spos, usrc, cnt, r0, c0, u0]
+    elif deferred:
         prefetch = [ancestors.astype(jnp.int32), r0, c0, u0]
     else:
         prefetch = [r0, c0, u0]
@@ -1081,7 +1280,21 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         lik_spec = pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
                                 memory_space=pltpu.VMEM)
 
-    lik, grids_out = pl.pallas_call(
+    out_specs = [
+        lik_spec,                                # lik rows
+        pl.BlockSpec(memory_space=space),        # grids out
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((p, 128), jnp.float32),
+        jax.ShapeDtypeStruct(grids.shape, grids.dtype),
+    ]
+    if staged:
+        # HBM stage buffer for the unique ancestor maps (an output only
+        # because pallas has no HBM scratch space; never returned)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct(grids.shape, grids.dtype))
+
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
@@ -1092,17 +1305,12 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # table [8, 512]
                 pl.BlockSpec(memory_space=space),        # grids
             ],
-            out_specs=[
-                lik_spec,                                # lik rows
-                pl.BlockSpec(memory_space=space),        # grids out
-            ],
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((p, 128), jnp.float32),
-            jax.ShapeDtypeStruct(grids.shape, grids.dtype),
-        ],
-        input_output_aliases={} if deferred else {n_grid_in: 1},
+        out_shape=out_shape,
+        input_output_aliases=(
+            {} if deferred and not staged else {n_grid_in: 1}),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # Scoped-vmem accounting counts the aliased grids in AND out
@@ -1116,6 +1324,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         ),
         interpret=interpret,
     )(*prefetch, pp, pv, table, grids)
+    lik, grids_out = outs[0], outs[1]
 
     return grids_out, lik[:, 0]
 

@@ -190,26 +190,78 @@ def test_hbm_column_crop_matches_oracle():
 
 
 def test_hbm_deferred_lineage_matches_gather_then_kernel():
-    """The fused-lineage HBM kernel (_kernel_hbm_anc) must be BITWISE
-    identical to materializing the resample first (jnp.take by ancestor)
-    and running the plain HBM kernel: the lineage indirection + the
-    HBM-to-HBM out-of-window band copies only move WHERE bytes come
-    from, never what they are.  Covers duplicated, skipped, and identity
-    ancestors, and r0 clamped at both grid edges."""
+    """BOTH fused-lineage HBM kernels (_kernel_hbm_staged with in-place
+    aliasing, _kernel_hbm_anc with band copies) must be BITWISE identical
+    to materializing the resample first (jnp.take by ancestor) and
+    running the plain HBM kernel: the lineage indirection only moves
+    WHERE bytes come from, never what they are.  Covers duplicated,
+    skipped, identity, whole-set-collapse, and UNSORTED ancestors (the
+    staged plan stages per segment — wasteful, never wrong), and r0
+    clamped at both grid edges."""
     grids, poses, dist, valid, present = _mk(p=8, seed=21)
     # push two poses to the y-edges so r0 clamps to 0 / rows-wr
     poses = poses.at[0, 1].set(-1.9).at[1, 1].set(1.9)
     a0 = jnp.float32(0.0)
-    for anc_np in ([0, 0, 3, 3, 3, 5, 7, 7], list(range(8))):
-        anc = jnp.asarray(anc_np, jnp.int32)
-        g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
-                              SPEC, B, 1.0, resident=False, interpret=True,
-                              ancestors=anc)
-        g2, l2 = fused_update(jnp.take(grids, anc, axis=0), poses, a0,
-                              dist, valid, present, SPEC, B, 1.0,
-                              resident=False, interpret=True)
-        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
-        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    patterns = ([0, 0, 3, 3, 3, 5, 7, 7],     # dup + self mix
+                list(range(8)),               # identity (skip): all lone
+                [7] * 8,                      # whole-set collapse
+                [1, 1, 2, 3, 4, 4, 6, 7],     # self slots adjacent to dups
+                [3, 0, 0, 5, 3, 7, 1, 1])     # unsorted, incl. anc[5]==5
+    for lineage in ("staged", "bands"):
+        for anc_np in patterns:
+            anc = jnp.asarray(anc_np, jnp.int32)
+            g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
+                                  SPEC, B, 1.0, resident=False,
+                                  interpret=True, ancestors=anc,
+                                  hbm_lineage=lineage)
+            g2, l2 = fused_update(jnp.take(grids, anc, axis=0), poses, a0,
+                                  dist, valid, present, SPEC, B, 1.0,
+                                  resident=False, interpret=True)
+            np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2),
+                                          err_msg=f"{lineage} {anc_np}")
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2),
+                                          err_msg=f"{lineage} {anc_np}")
+
+
+def test_gridslam_staged_lineage_bitwise_vs_gather():
+    """The auto HBM route (staged-lineage kernel, pending ancestors) and
+    the whole-set gather route (materialized resample) are the SAME
+    filter in different representations: both order resampled slots by
+    ancestor gather, so with identical keys every per-step output and
+    the materialized maps must match bitwise across several steps with
+    forced resampling.  (CoW cannot be compared bitwise across steps:
+    it is slot-PRESERVING, and motion noise is drawn per slot, so the
+    trajectories legitimately decouple after the first resample.)"""
+    cfg_kw = dict(position_x=-2, position_y=-2, width=4.0, height=4.0,
+                  resolution=0.05, n_particles=8, max_scan_range=1.0,
+                  integrate="fused", resample_neff_frac=1.0,
+                  fused_resident=False)
+    cfg_staged = gs.GridSlamConfig(**cfg_kw, resample_cow="staged")
+    cfg_cow = gs.GridSlamConfig(**cfg_kw, resample_cow=False)
+    angles = jnp.arange(B, dtype=jnp.float32) * (2 * np.pi / B)
+    scan = Scan(angles=angles,
+                distances=jnp.full((B,), 0.8, jnp.float32),
+                strengths=jnp.ones((B,), jnp.float32),
+                valid=jnp.ones((B,), bool),
+                present=jnp.ones((B,), bool))
+    odo = OdometryReading(jnp.float32(0.01), jnp.float32(0.012),
+                          jnp.float32(0.1))
+    s1 = gs.GridSlamState.init(cfg_staged)
+    s2 = gs.GridSlamState.init(cfg_cow)
+    key = jax.random.key(5)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        s1, o1 = gs.update(s1, scan, odo, k, cfg_staged)
+        s2, o2 = gs.update(s2, scan, odo, k, cfg_cow)
+        np.testing.assert_array_equal(np.asarray(o1.pose),
+                                      np.asarray(o2.pose))
+        np.testing.assert_array_equal(np.asarray(o1.n_eff),
+                                      np.asarray(o2.n_eff))
+        np.testing.assert_array_equal(np.asarray(s1.poses),
+                                      np.asarray(s2.poses))
+        # s1 carries a PENDING lineage; materialize it for comparison
+        mat = np.asarray(jnp.take(s1.grids, s1.ancestors, axis=0))
+        np.testing.assert_array_equal(mat, np.asarray(s2.grids))
 
 
 def test_gridslam_fused_hbm_deferred_path():
