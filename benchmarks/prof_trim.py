@@ -140,7 +140,9 @@ def _gather_beam_v(table_ref, bins, rr, cc, *, g2):
     return out
 
 
-def _cell_pass_v(w32, params, table_ref, *, r0, c0, g2, recip):
+def _cell_pass_v(w32, params, table_ref, *, r0, c0, g2, recip,
+                 nobins=False, nogather=False, nodecode=False,
+                 nodens=False, wrap2=False):
     cx, cy, _t, ta, _ct, _st, dphi_, inv_dphi = params
     two_pi = 2.0 * pymath.pi
     cc = 128
@@ -151,13 +153,39 @@ def _cell_pass_v(w32, params, table_ref, *, r0, c0, g2, recip):
     dx = wx + 0.5 - cx
     dy = wy + 0.5 - cy
     r2 = dx * dx + dy * dy
-    phi = _atan2_v(dy, dx, recip=recip)
-    rel = phi - ta
-    rel = rel - two_pi * jnp.floor(rel * (1.0 / two_pi))
-    bins_f = jnp.round(rel * inv_dphi)
-    bins_f = jnp.where(bins_f >= two_pi * inv_dphi - 0.5, 0.0, bins_f)
-    bins = bins_f.astype(jnp.int32)
-    d_enc = _gather_beam_v(table_ref, bins, wr, cc, g2=g2)
+    if nobins == "cheap":
+        # ablation: data-dependent but trivial bins (cannot be folded the
+        # way the iota pattern can) — isolates atan2+wrap+round as
+        # base - cheapbins while keeping the 3-chunk gather honest
+        bins = r2.astype(jnp.int32) & 255
+    elif nobins:
+        # ablation: drop ALL angular math (atan2 + wrap + round); bins
+        # become a lane pattern so the gather still runs
+        bins = jax.lax.broadcasted_iota(jnp.int32, (wr, cc), 1) * 2
+    else:
+        phi = _atan2_v(dy, dx, recip=recip)
+        rel = phi - ta
+        if wrap2:
+            # rel in (-2pi-eps, 2pi): one conditional add replaces the
+            # mul/floor/mul/sub circle wrap; the >= NB-0.5 fold below
+            # still maps the near-closing half-bin to beam 0
+            nbf = two_pi * inv_dphi
+            bins_f = jnp.round(rel * inv_dphi)
+            bins_f = jnp.where(bins_f < 0.0, bins_f + nbf, bins_f)
+            bins_f = jnp.where(bins_f >= nbf - 0.5, 0.0, bins_f)
+        else:
+            rel = rel - two_pi * jnp.floor(rel * (1.0 / two_pi))
+            bins_f = jnp.round(rel * inv_dphi)
+            bins_f = jnp.where(bins_f >= two_pi * inv_dphi - 0.5, 0.0,
+                               bins_f)
+        bins = bins_f.astype(jnp.int32)
+    if nogather:
+        # ablation: one aligned load instead of the 3-chunk gather
+        d_enc = jnp.broadcast_to(table_ref[0:1, 0:128], (wr, cc))
+    else:
+        d_enc = _gather_beam_v(table_ref, bins, wr, cc, g2=g2)
+    if nodecode:
+        return w32 + d_enc * 1e-6
     was_hit = d_enc > 0.0
     present_ = d_enc != 0.0
     d = jnp.abs(d_enc)
@@ -168,25 +196,33 @@ def _cell_pass_v(w32, params, table_ref, *, r0, c0, g2, recip):
     b_sq = jnp.where(was_hit, dp * dp, -1.0)
     inc = jnp.where(r2 < a_sq, L_FREE,
                     jnp.where(r2 <= b_sq, L_OCCUPIED, 0.0))
-    dens = jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2, 0.25))
-                       * inv_dphi)
+    if nodens:
+        dens = 1.0
+    else:
+        dens = jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2, 0.25))
+                           * inv_dphi)
     in_bounds = (wy < float(spec.rows)) & (wx < float(spec.cols))
     inc = jnp.where(present_ & in_bounds, inc * dens, 0.0)
     return w32 + inc
 
 
 def _window_compute_v(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
-                      table_ref, scr, *, g2, recip):
+                      table_ref, scr, *, g2, recip, nolikfold=False,
+                      nocell=False, **cellkw):
     u0 = uoff_ref[i]
     pairs = pltpu.bitcast(w_in[...], jnp.int32)
     rolledp = pltpu.roll(pairs, -u0, 1)
     w32 = pltpu.bitcast(rolledp[:, :128], jnp.bfloat16).astype(jnp.float32)
     xi_s, yi_s, _use_s, odds_s = scr
-    _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=128,
-                     num_beams=NB)
+    if not nolikfold:
+        _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=128,
+                         num_beams=NB)
     params = tuple(pp_ref[i, t] for t in range(8))
-    out = _cell_pass_v(w32, params, table_ref, r0=r0, c0=c0 + u0,
-                       g2=g2, recip=recip)
+    if nocell:
+        out = w32 + 1e-6
+    else:
+        out = _cell_pass_v(w32, params, table_ref, r0=r0, c0=c0 + u0,
+                           g2=g2, recip=recip, **cellkw)
     out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
     w_out[...] = pltpu.bitcast(
         pltpu.roll(jnp.concatenate([out_p, rolledp[:, 128:]], axis=1),
@@ -195,7 +231,8 @@ def _window_compute_v(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
 
 def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
               grid_in, lik_ref, grid_out, win, sem_in, sem_out,
-              xi_s, yi_s, use_s, odds_s, *, g2, recip):
+              xi_s, yi_s, use_s, odds_s, *, g2, recip, noidx=False,
+              **wkw):
     j = pl.program_id(0)
     n = pl.num_programs(0)
     slot = j % 2
@@ -233,9 +270,10 @@ def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
 
     scr = (xi_s, yi_s, use_s, odds_s)
     i0 = pl.multiple_of(j * PPB, 8)
-    _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0, ppb=PPB,
-                     wr=wr, cw=128, num_beams=NB, logical_rows=spec.rows,
-                     logical_cols=spec.cols)
+    if not noidx:
+        _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0,
+                         ppb=PPB, wr=wr, cw=128, num_beams=NB,
+                         logical_rows=spec.rows, logical_cols=spec.cols)
 
     for k in range(PPB):
         i = j * PPB + k
@@ -244,7 +282,7 @@ def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
         c0 = pl.multiple_of(coff_ref[i], 128)
         _window_compute_v(win.at[slot, k], win.at[slot, k], i, k, r0, c0,
                           uoff_ref, pp_ref, table_ref, scr, g2=g2,
-                          recip=recip)
+                          recip=recip, **wkw)
         out_copy(j, slot, k).start()
 
     _lik_finish_batched(odds_s, use_s, lik_ref)
@@ -255,8 +293,8 @@ def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
             out_copy(j, slot, k).wait()
 
 
-def call(grids, *, g2=False, recip=False):
-    kernel = functools.partial(_kernel_v, g2=g2, recip=recip)
+def call(grids, *, g2=False, recip=False, **kw):
+    kernel = functools.partial(_kernel_v, g2=g2, recip=recip, **kw)
     scratch = [
         pltpu.VMEM((2, PPB, wr, wc), grids.dtype),
         pltpu.SemaphoreType.DMA((2, PPB)),
@@ -324,14 +362,24 @@ def run_variant(name, **kw):
     print(f"{name}: {dt * 1e6:.1f} us/update")
 
 
+VARIANTS = {
+    "base": {},
+    "g2": dict(g2=True),
+    "recip": dict(recip=True),
+    "both": dict(g2=True, recip=True),
+    # ablations (all on top of g2, the committed formulation):
+    "nobins": dict(g2=True, nobins=True),      # - atan2/wrap/round
+    "cheapbins": dict(g2=True, nobins="cheap"),  # gather kept honest
+    "nogather": dict(g2=True, nogather=True),  # - 3-chunk beam gather
+    "nodecode": dict(g2=True, nodecode=True),  # - ISM decode+dens+bounds
+    "nodens": dict(g2=True, nodens=True),      # - density rsqrt only
+    "nolikfold": dict(g2=True, nolikfold=True),  # - lik phase B
+    "noidx": dict(g2=True, noidx=True),        # - lik phase A
+    "nocell": dict(g2=True, nocell=True),      # - whole cell pass
+    "wrap2": dict(g2=True, wrap2=True),        # cheaper circle wrap
+}
+
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["base", "g2", "recip", "both"]
     for v in variants:
-        if v == "base":
-            run_variant(v)
-        elif v == "g2":
-            run_variant(v, g2=True)
-        elif v == "recip":
-            run_variant(v, recip=True)
-        elif v == "both":
-            run_variant(v, g2=True, recip=True)
+        run_variant(v, **VARIANTS[v])

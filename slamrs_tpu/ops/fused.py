@@ -155,18 +155,22 @@ def _gather_beam(table_ref, bins, rows, cols, table_rows=(0,)):
     path at ONE row and decode in registers (see _cell_pass).
     Returns one [rows, cols] array per requested table row.
     """
+    # SHARED index math across chunks: one `& 127` (lane-within-chunk —
+    # lanes outside a chunk gather garbage and are masked by the chunk-id
+    # select) and one `>> 7` (chunk id) replace the per-chunk
+    # subtract/&127 + two range compares + and (measured -14 us/update
+    # at the 0.02 m config, benchmarks/prof_trim.py)
+    sub_lo = bins & 127
+    cid = jax.lax.shift_right_logical(bins, 7)
     outs = [jnp.zeros((rows, cols), jnp.float32) for _ in table_rows]
     for c in range(3):
-        subs = []
-        for j in range(cols // 128):
-            # lanes outside this chunk are masked by the range select
-            # below, so a cheap &127 replaces clip for index safety
-            subs.append((bins[:, j * 128:(j + 1) * 128] - c * 128) & 127)
-        in_chunk = (bins >= c * 128) & (bins < (c + 1) * 128)
+        in_chunk = cid == c
         for t, tr in enumerate(table_rows):
             tb = jnp.broadcast_to(table_ref[tr:tr + 1, c * 128:(c + 1) * 128],
                                   (rows, 128))
-            parts = [jnp.take_along_axis(tb, sub, axis=1) for sub in subs]
+            parts = [jnp.take_along_axis(tb, sub_lo[:, j * 128:(j + 1) * 128],
+                                         axis=1)
+                     for j in range(cols // 128)]
             v = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                  else parts[0])
             outs[t] = jnp.where(in_chunk, v, outs[t])
