@@ -23,9 +23,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slamrs_tpu.ops.fused import (_lik_finish_batched, _lik_gather_fold,
-                                  _lik_idx_batched, encode_beam_table,
-                                  window_rows)
+from slamrs_tpu.ops.fused import (_fold_select, _lik_finish_batched,
+                                  _lik_gather_fold, _lik_idx_batched,
+                                  encode_beam_table, window_rows)
 from slamrs_tpu.ops.grid import (ADDITIONAL_STEPS, L_FREE, L_OCCUPIED,
                                  SENSOR_MAXDIST, TOLERANCE_CELLS,
                                  GridSpec2D)
@@ -140,9 +140,44 @@ def _gather_beam_v(table_ref, bins, rr, cc, *, g2):
     return out
 
 
+def _pack3_row():
+    """128-lane f32 row whose BITS pack 3 beams per lane: 10-bit fixed
+    point d in 1/8-cell units; 0 = absent, bit 9 set = miss (d keeps
+    bits 0-8).  Lane q holds beams 3q, 3q+1, 3q+2 at offsets 0/10/20."""
+    d8 = jnp.clip(jnp.round(dist / spec.resolution * 8.0), 1, 511).astype(
+        jnp.int32)
+    hit = valid  # this harness: all valid are hits
+    v = jnp.where(present, jnp.where(hit, d8, d8 | 512), 0)
+    v = jnp.concatenate([v, jnp.zeros((384 - NB,), jnp.int32)])
+    packed = v[0::3] | (v[1::3] << 10) | (v[2::3] << 20)
+    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+
+def _gather_pack3(table_ref, bins_f, rr):
+    """Single-chunk beam gather: idx=floor(bins/3) lane gather on the
+    packed row 5 + in-register 10-bit field extract.  Returns
+    d_enc-compatible f32 (sign = miss, 0 = absent, cells)."""
+    third = jnp.float32(1.0 / 3.0)
+    q_f = jnp.floor(bins_f * third)
+    rem = bins_f - 3.0 * q_f
+    tb = jnp.broadcast_to(table_ref[5:6, 0:128], (rr, 128))
+    g = jnp.take_along_axis(tb, q_f.astype(jnp.int32), axis=1)
+    gi = pltpu.bitcast(g, jnp.int32)
+    v = jax.lax.shift_right_logical(
+        gi, (rem * 10.0).astype(jnp.int32)) & 1023
+    d = (v & 511).astype(jnp.float32) * 0.125
+    return jnp.where(v >= 512, -d, d)  # v==0 -> d==0 == absent
+
+
+table_h = table_h.at[5, 0:128].set(jax.jit(_pack3_row)())
+# incroll variant: phase-A xi in RAW window coords (ceff = c0, cw = wc)
+pv2_h = pv_h.at[:, 5].set(c0_h.astype(jnp.float32))
+
+
 def _cell_pass_v(w32, params, table_ref, *, r0, c0, g2, recip,
                  nobins=False, nogather=False, nodecode=False,
-                 nodens=False, wrap2=False):
+                 nodens=False, wrap2=False, pack3=None,
+                 return_inc=False):
     cx, cy, _t, ta, _ct, _st, dphi_, inv_dphi = params
     two_pi = 2.0 * pymath.pi
     cc = 128
@@ -178,10 +213,12 @@ def _cell_pass_v(w32, params, table_ref, *, r0, c0, g2, recip,
             bins_f = jnp.round(rel * inv_dphi)
             bins_f = jnp.where(bins_f >= two_pi * inv_dphi - 0.5, 0.0,
                                bins_f)
-        bins = bins_f.astype(jnp.int32)
+        bins = None if pack3 else bins_f.astype(jnp.int32)
     if nogather:
         # ablation: one aligned load instead of the 3-chunk gather
         d_enc = jnp.broadcast_to(table_ref[0:1, 0:128], (wr, cc))
+    elif pack3:
+        d_enc = _gather_pack3(table_ref, bins_f, wr)
     else:
         d_enc = _gather_beam_v(table_ref, bins, wr, cc, g2=g2)
     if nodecode:
@@ -203,15 +240,94 @@ def _cell_pass_v(w32, params, table_ref, *, r0, c0, g2, recip,
                            * inv_dphi)
     in_bounds = (wy < float(spec.rows)) & (wx < float(spec.cols))
     inc = jnp.where(present_ & in_bounds, inc * dens, 0.0)
+    if return_inc:
+        return inc
     return w32 + inc
+
+
+def _lik_gather_fold_pairs(pairs, xi_s, yi_s, odds_s, k):
+    """Lik phase B straight off the PACKED bf16-pair window [wr//2, wc]
+    i32: gather pair rows (half the fold height), extract the 16-bit
+    half by yi&1, widen bf16 bits -> f32.  xi here is in RAW window
+    coordinates (no roll)."""
+    wr2 = pairs.shape[0]
+    cw = pairs.shape[1]
+    for bc in range(N_CHUNKS):
+        sl = slice(bc * 128, (bc + 1) * 128)
+        xi = xi_s[k:k + 1, sl]
+        yi = yi_s[k:k + 1, sl]
+        yi2 = jnp.floor(yi * 0.5)
+        g = jnp.zeros((wr2, 128), jnp.int32)
+        for b in range(cw // 128):
+            subf = jnp.clip(xi - b * 128, 0.0, 127.0)
+            m = (xi >= b * 128) & (xi < (b + 1) * 128)
+            sub = jnp.broadcast_to(subf, (wr2, 128)).astype(jnp.int32)
+            part = jnp.take_along_axis(pairs[:, b * 128:(b + 1) * 128],
+                                       sub, axis=1)
+            g = jnp.where(jnp.broadcast_to(m, (wr2, 128)), part, g) \
+                if cw > 128 else part
+        # fold over pair rows (f32 halving selects need f32 bits)
+        gf = pltpu.bitcast(g, jnp.float32)
+        vf = _fold_select(gf, yi2, wr=wr2)
+        v = pltpu.bitcast(vf, jnp.int32)
+        odd = (yi - 2.0 * yi2) > 0.5
+        half = jnp.where(odd, jax.lax.shift_right_logical(v, 16), v)
+        odds_s[k:k + 1, sl] = pltpu.bitcast(
+            jax.lax.shift_left(half, 16), jnp.float32)
 
 
 def _window_compute_v(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
                       table_ref, scr, *, g2, recip, nolikfold=False,
-                      nocell=False, **cellkw):
+                      nocell=False, norolls=False, q8=False,
+                      dslice=False, incroll=False, packadd=False,
+                      **cellkw):
+    if incroll:
+        u0 = uoff_ref[i]
+        pairs = pltpu.bitcast(w_in[...], jnp.int32)  # [wr//2, 256]
+        xi_s, yi_s, _use_s, odds_s = scr
+        if not nolikfold:
+            _lik_gather_fold_pairs(pairs, xi_s, yi_s, odds_s, k)
+        params = tuple(pp_ref[i, t] for t in range(8))
+        inc = _cell_pass_v(None, params, table_ref, r0=r0, c0=c0 + u0,
+                           g2=g2, recip=recip, return_inc=True, **cellkw)
+        inc_p = pltpu.bitcast(inc.astype(jnp.bfloat16), jnp.int32)
+        inc_pad = jnp.concatenate(
+            [inc_p, jnp.zeros((inc_p.shape[0], 128), jnp.int32)], axis=1)
+        inc_r = pltpu.roll(inc_pad, u0, 1)
+        w_out[...] = (pltpu.bitcast(pairs, jnp.bfloat16)
+                      + pltpu.bitcast(inc_r, jnp.bfloat16))
+        return
+    if packadd:
+        # hybrid: keep both rolls, but lik gathers the ROLLED pairs
+        # (60-row fold + 16-bit extract) and the update is a packed
+        # bf16 add of inc on virtual coords -- no unpack/repack
+        u0 = uoff_ref[i]
+        pairs = pltpu.bitcast(w_in[...], jnp.int32)
+        rolledp = pltpu.roll(pairs, -u0, 1)
+        xi_s, yi_s, _use_s, odds_s = scr
+        if not nolikfold:
+            _lik_gather_fold_pairs(rolledp[:, :128], xi_s, yi_s,
+                                   odds_s, k)
+        params = tuple(pp_ref[i, t] for t in range(8))
+        inc = _cell_pass_v(None, params, table_ref, r0=r0, c0=c0 + u0,
+                           g2=g2, recip=recip, return_inc=True, **cellkw)
+        inc_p = pltpu.bitcast(inc.astype(jnp.bfloat16), jnp.int32)
+        out_p = pltpu.bitcast(
+            pltpu.bitcast(rolledp[:, :128], jnp.bfloat16)
+            + pltpu.bitcast(inc_p, jnp.bfloat16), jnp.int32)
+        both = jnp.concatenate([out_p, rolledp[:, 128:]], axis=1)
+        w_out[...] = pltpu.bitcast(pltpu.roll(both, u0, 1), jnp.bfloat16)
+        return
     u0 = uoff_ref[i]
+    if q8:
+        u0 = pl.multiple_of(u0 & ~7, 8)
     pairs = pltpu.bitcast(w_in[...], jnp.int32)
-    rolledp = pltpu.roll(pairs, -u0, 1)
+    if norolls:
+        rolledp = pairs  # WRONG results; timing ablation only
+    elif dslice:
+        rolledp = jax.lax.dynamic_slice_in_dim(pairs, u0, 128, 1)
+    else:
+        rolledp = pltpu.roll(pairs, -u0, 1)
     w32 = pltpu.bitcast(rolledp[:, :128], jnp.bfloat16).astype(jnp.float32)
     xi_s, yi_s, _use_s, odds_s = scr
     if not nolikfold:
@@ -224,15 +340,19 @@ def _window_compute_v(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
         out = _cell_pass_v(w32, params, table_ref, r0=r0, c0=c0 + u0,
                            g2=g2, recip=recip, **cellkw)
     out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
-    w_out[...] = pltpu.bitcast(
-        pltpu.roll(jnp.concatenate([out_p, rolledp[:, 128:]], axis=1),
-                   u0, 1), jnp.bfloat16)
+    if dslice and not norolls:
+        w_out[...] = pltpu.bitcast(jax.lax.dynamic_update_slice_in_dim(
+            pairs, out_p, u0, 1), jnp.bfloat16)
+    else:
+        both = jnp.concatenate([out_p, rolledp[:, 128:]], axis=1)
+        w_out[...] = pltpu.bitcast(
+            both if norolls else pltpu.roll(both, u0, 1), jnp.bfloat16)
 
 
 def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
               grid_in, lik_ref, grid_out, win, sem_in, sem_out,
               xi_s, yi_s, use_s, odds_s, *, g2, recip, noidx=False,
-              **wkw):
+              sharewin=False, **wkw):
     j = pl.program_id(0)
     n = pl.num_programs(0)
     slot = j % 2
@@ -253,6 +373,58 @@ def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
             win.at[s, k], grid_out.at[p_idx, pl.ds(rj, wr), pl.ds(cj, wc)],
             sem_out.at[s, k])
 
+    if sharewin:
+        # CEILING ablation (WRONG results): all ppb particles of a
+        # program read ONE in-window (1 in-DMA + 1 in-roll per program
+        # instead of ppb) — bounds the shared-unique-window redesign
+        @pl.when(j == 0)
+        def _():
+            in_copy(0, 0, 0).start()
+
+        @pl.when(j >= 1)
+        def _():
+            for k in range(PPB):
+                out_copy(j - 1, (j - 1) % 2, k).wait()
+
+        @pl.when(j + 1 < n)
+        def _():
+            in_copy(j + 1, (j + 1) % 2, 0).start()
+
+        scr = (xi_s, yi_s, use_s, odds_s)
+        i0 = pl.multiple_of(j * PPB, 8)
+        _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0,
+                         ppb=PPB, wr=wr, cw=128, num_beams=NB,
+                         logical_rows=spec.rows, logical_cols=spec.cols)
+        in_copy(j, slot, 0).wait()
+        u0 = uoff_ref[j * PPB]
+        pairs = pltpu.bitcast(win[slot, 0], jnp.int32)
+        rolledp = pltpu.roll(pairs, -u0, 1)
+        w32 = pltpu.bitcast(rolledp[:, :128], jnp.bfloat16).astype(
+            jnp.float32)
+        for k in range(PPB):
+            i = j * PPB + k
+            _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=128,
+                             num_beams=NB)
+            r0 = pl.multiple_of(off_ref[i], 8)
+            c0 = pl.multiple_of(coff_ref[i], 128)
+            params = tuple(pp_ref[i, t] for t in range(8))
+            inc = _cell_pass_v(None, params, table_ref, r0=r0,
+                               c0=c0 + u0, g2=False, recip=False,
+                               return_inc=True, pack3=True)
+            out_p = pltpu.bitcast(
+                (w32 + inc).astype(jnp.bfloat16), jnp.int32)
+            both = jnp.concatenate([out_p, rolledp[:, 128:]], axis=1)
+            win[slot, k] = pltpu.bitcast(pltpu.roll(both, u0, 1),
+                                         jnp.bfloat16)
+            out_copy(j, slot, k).start()
+        _lik_finish_batched(odds_s, use_s, lik_ref)
+
+        @pl.when(j == n - 1)
+        def _():
+            for k in range(PPB):
+                out_copy(j, slot, k).wait()
+        return
+
     @pl.when(j == 0)
     def _():
         for k in range(PPB):
@@ -272,7 +444,9 @@ def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
     i0 = pl.multiple_of(j * PPB, 8)
     if not noidx:
         _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0,
-                         ppb=PPB, wr=wr, cw=128, num_beams=NB,
+                         ppb=PPB, wr=wr,
+                         cw=wc if wkw.get("incroll") else 128,
+                         num_beams=NB,
                          logical_rows=spec.rows, logical_cols=spec.cols)
 
     for k in range(PPB):
@@ -295,6 +469,7 @@ def _kernel_v(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
 
 def call(grids, *, g2=False, recip=False, **kw):
     kernel = functools.partial(_kernel_v, g2=g2, recip=recip, **kw)
+    pv_use = pv2_h if kw.get("incroll") else pv_h
     scratch = [
         pltpu.VMEM((2, PPB, wr, wc), grids.dtype),
         pltpu.SemaphoreType.DMA((2, PPB)),
@@ -326,7 +501,7 @@ def call(grids, *, g2=False, recip=False, **kw):
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(r0_h, c0_h, u0_h, pp_h, pv_h, table_h, grids)
+    )(r0_h, c0_h, u0_h, pp_h, pv_use, table_h, grids)
     return grids_out, lik[:, 0]
 
 
@@ -377,6 +552,19 @@ VARIANTS = {
     "noidx": dict(g2=True, noidx=True),        # - lik phase A
     "nocell": dict(g2=True, nocell=True),      # - whole cell pass
     "wrap2": dict(g2=True, wrap2=True),        # cheaper circle wrap
+    "pack3": dict(pack3=True),  # 3-beams-per-lane single-chunk gather
+    "norolls": dict(pack3=True, norolls=True),  # timing-only ablation
+    "dslice": dict(pack3=True, dslice=True),
+    "q8": dict(pack3=True, q8=True),
+    "q8dslice": dict(pack3=True, q8=True, dslice=True),
+    # inc-roll restructure: no window roll/unpack at all; cell pass on
+    # virtual coords -> pack inc, ONE roll, bf16 add; lik gathers the
+    # packed pairs directly (pair-row fold + 16-bit extract)
+    "incroll": dict(pack3=True, incroll=True),
+    "incroll_nolik": dict(pack3=True, incroll=True, nolikfold=True),
+    "pack3_nolik": dict(pack3=True, nolikfold=True),
+    "packadd": dict(pack3=True, packadd=True),
+    "sharewin": dict(sharewin=True),  # ceiling for unique-window dedupe
 }
 
 if __name__ == "__main__":

@@ -20,11 +20,20 @@ Design (TPU-first, measured on a v5e):
   update in place).
 * Integration is a dense cell pass: per cell, the polar coordinates
   (r, phi) relative to the particle pose pick the covering beam
-  (phi -> angular bin -> a 3-chunk ``take_along_axis`` lane-gather
-  of the 360-entry beam table — TPU lane gathers are native at 128-entry
-  granularity) and the inverse sensor model yields the log-odds
-  increment (multiplicity-compensated near the robot, exactly like
-  ``ops.grid.grid_integrate_dense``).
+  (phi -> angular bin -> ONE ``take_along_axis`` lane-gather of a
+  bit-PACKED beam table: 3 beams x 10-bit fixed-point distance per
+  32-bit lane, so all 360 bins live in one native 128-entry gather
+  granule; the 3-chunk unpacked gather this replaces measured +75
+  us/update at 0.02 m, benchmarks/prof_trim.py) and the inverse sensor
+  model yields the log-odds increment (multiplicity-compensated near
+  the robot, exactly like ``ops.grid.grid_integrate_dense``).
+  Documented deviation of the packing: beam distances snap to a static
+  power-of-two quantum (:func:`pack3_quantum` — 1/8 cell at reference
+  ranges, growing with range/resolution so 511 units always cover the
+  scan disc), moving each ISM interval bound by at most half a quantum
+  (1.25 mm at the 0.02 m config).  ``fused_update_reference`` mirrors
+  the quantization exactly (:func:`quantize_d_enc`), and the dda path
+  — the fidelity contract — is untouched.
 * The measurement likelihood is the reference's EXACT per-beam endpoint
   product (map.rs:113-145), computed entirely LANE-MAJOR (beams on the
   512-lane axis — a beam-per-sublane [512,1] layout runs at 1/128 lane
@@ -108,9 +117,47 @@ def supports_deferred_hbm(spec: GridSpec2D, max_range_m: float,
     return wc == cols and rows - wr <= wr
 
 
+def pack3_quantum(max_range_cells: float) -> float:
+    """Static power-of-two distance quantum for the packed beam-table
+    row: the largest encodable value (511 units) must cover the longest
+    distance the inverse sensor model can see (max range + overshoot +
+    tolerance margin).  1/8 cell up to ~63 cells of range, then 1/4,
+    1/2, ... — the ISM interval bounds move by at most half a quantum."""
+    qu = 0.125
+    while (max_range_cells + ADDITIONAL_STEPS + 2.0) / qu > 511.0:
+        qu *= 2.0
+    return qu
+
+
+def quantize_d_enc(enc: Array, qu: float) -> Array:
+    """The packed row's value semantics on an unpacked d_enc lane:
+    |d| snapped to ``qu`` units (min 1, the encode's tiny-hit floor;
+    max 511, the field width), sign and +-0 preserved."""
+    dq = jnp.clip(jnp.round(jnp.abs(enc) / qu), 1.0, 511.0) * qu
+    return jnp.where(enc == 0.0, enc, jnp.where(enc > 0.0, dq, -dq))
+
+
+def _pack3_row(enc: Array, qu: float) -> Array:
+    """Pack the d_enc lane encoding into 3 x 10-bit fields per i32 lane
+    (bitcast to f32 for table storage): units of ``qu`` cells, 0 =
+    absent, bit 9 = miss.  Lane q holds beams 3q/3q+1/3q+2 at bit
+    offsets 0/10/20 — bins [0, 384) gather from 128 lanes in ONE
+    chunked take_along_axis instead of three (measured -75 us/update
+    at the 0.02 m config, benchmarks/prof_trim.py pack3)."""
+    d8 = jnp.clip(jnp.round(jnp.abs(enc[:384]) / qu), 1, 511).astype(
+        jnp.int32)
+    v = jnp.where(enc[:384] == 0.0, 0,
+                  jnp.where(enc[:384] > 0.0, d8, d8 | 512))
+    packed = v[0::3] | (v[1::3] << 10) | (v[2::3] << 20)
+    row = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    return jnp.concatenate(
+        [row, jnp.zeros((_BEAM_PAD - 128,), jnp.float32)])
+
+
 def encode_beam_table(distances_cells: Array, valid: Array,
                       present: Array, angles0: Array | None = None,
-                      dphi: Array | None = None) -> Array:
+                      dphi: Array | None = None,
+                      pack_quantum: float | None = None) -> Array:
     """[B] beam lanes -> [8, _BEAM_PAD] f32 encoded table.
 
     Row 0: ``d_enc`` (signed/zero encoding, module docstring) for the
@@ -121,6 +168,8 @@ def encode_beam_table(distances_cells: Array, valid: Array,
       row 2: cos(angles0 + b * dphi);
       row 3: sin(angles0 + b * dphi);
       row 4: use flag (valid & present).
+    When ``pack_quantum`` is given, row 5 packs the d_enc encoding at
+    that quantum, 3 beams per lane (:func:`_pack3_row`).
     """
     b = distances_cells.shape[-1]
     d = jnp.abs(distances_cells)
@@ -129,8 +178,12 @@ def encode_beam_table(distances_cells: Array, valid: Array,
     enc = jnp.where(valid & present & (d == 0.0), jnp.float32(1e-6), enc)
     pad = jnp.full((_BEAM_PAD - b,), -0.0, jnp.float32)
     row = jnp.concatenate([enc.astype(jnp.float32), pad])
+    zero = jnp.zeros((_BEAM_PAD,), jnp.float32)
+    p3 = _pack3_row(row, pack_quantum) if pack_quantum is not None \
+        else zero
     if angles0 is None:
-        return jnp.broadcast_to(row[None, :], (8, _BEAM_PAD))
+        t = jnp.broadcast_to(row[None, :], (8, _BEAM_PAD))
+        return t.at[5].set(p3) if pack_quantum is not None else t
     lane = jnp.arange(_BEAM_PAD, dtype=jnp.float32)
     ang = angles0 + lane * dphi
     use = jnp.zeros((_BEAM_PAD,), bool).at[:b].set(valid & present)
@@ -139,9 +192,8 @@ def encode_beam_table(distances_cells: Array, valid: Array,
             d.astype(jnp.float32)), 0.0)
     ca = jnp.where(use, jnp.cos(ang), 0.0)
     sa = jnp.where(use, jnp.sin(ang), 0.0)
-    zero = jnp.zeros((_BEAM_PAD,), jnp.float32)
     return jnp.stack([row, d_lik, ca, sa, use.astype(jnp.float32),
-                      zero, zero, zero])
+                      p3, zero, zero])
 
 
 def _gather_beam(table_ref, bins, rows, cols, table_rows=(0,)):
@@ -175,6 +227,36 @@ def _gather_beam(table_ref, bins, rows, cols, table_rows=(0,)):
                  else parts[0])
             outs[t] = jnp.where(in_chunk, v, outs[t])
     return outs[0] if len(table_rows) == 1 else outs
+
+
+def _gather_beam_pack3(table_ref, bins_f, rows, cols, qu):
+    """Single-chunk beam gather off the packed row 5 (see
+    :func:`_pack3_row`): lane = floor(bins/3) on ONE 128-lane table
+    broadcast, then a 10-bit field extract in registers.  Replaces the
+    3-chunk :func:`_gather_beam` (-75 us/update at 0.02 m,
+    benchmarks/prof_trim.py pack3).  ``bins_f`` is the FLOAT bin index
+    in [0, 2pi/dphi); values >= 384 (partial-sector absent bins) clamp
+    onto padding lanes and decode as absent, matching the chunked
+    gather's out-of-range behavior.
+    Returns (d [rows, cols] f32 cells, was_hit, present) masks.
+    """
+    third = jnp.float32(1.0 / 3.0)
+    q_f = jnp.minimum(jnp.floor(bins_f * third), 127.0)
+    # clamp rem too: clamped lanes would otherwise shift by >= 32 bits
+    # (undefined) — any field of the padding lane decodes absent
+    rem = jnp.minimum(bins_f - 3.0 * q_f, 2.0)
+    shift = (rem * 10.0).astype(jnp.int32)
+    q = q_f.astype(jnp.int32)
+    parts = []
+    for j in range(cols // 128):
+        tb = jnp.broadcast_to(table_ref[5:6, 0:128], (rows, 128))
+        parts.append(jnp.take_along_axis(
+            tb, q[:, j * 128:(j + 1) * 128], axis=1))
+    g = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    v = jax.lax.shift_right_logical(pltpu.bitcast(g, jnp.int32),
+                                    shift) & 1023
+    d = (v & 511).astype(jnp.float32) * qu
+    return d, v < 512, v != 0
 
 
 def _atan2(y, x):
@@ -382,7 +464,8 @@ def _lik_finish_batched(odds_s, use_s, lik_ref):
 
 
 def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
-               logical_rows, logical_cols, c0=None, return_inc=False):
+               logical_rows, logical_cols, c0=None, return_inc=False,
+               qu=None):
     """Dense inverse-sensor-model integration: returns updated window f32.
 
     w32: window [wr, cols] f32 log-odds (pre-update).
@@ -416,17 +499,23 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     rel = rel - two_pi * jnp.floor(rel * (1.0 / two_pi))
     bins_f = jnp.round(rel * inv_dphi)
     bins_f = jnp.where(bins_f >= two_pi * inv_dphi - 0.5, 0.0, bins_f)
-    bins = bins_f.astype(jnp.int32)
 
     # inverse sensor model (map.rs:148-172).  One gather only: a second
     # table fetch of pre-squared interval bounds measured +150 us at the
     # 0.02 m config — in-register decode is far cheaper than another
     # chunked gather.  The compares run in SQUARED space (A/B derived
     # from the gathered d per cell) so the per-cell sqrt disappears.
-    d_enc = _gather_beam(table_ref, bins, wr, cols)
-    was_hit = d_enc > 0.0
-    present = d_enc != 0.0  # +-0.0 -> absent (IEEE: -0.0 == 0.0)
-    d = jnp.abs(d_enc)
+    if qu is not None:
+        # packed single-chunk gather (d snapped to the static quantum —
+        # the documented fused-path quantization, module docstring)
+        d, was_hit, present = _gather_beam_pack3(table_ref, bins_f, wr,
+                                                 cols, qu)
+    else:
+        bins = bins_f.astype(jnp.int32)
+        d_enc = _gather_beam(table_ref, bins, wr, cols)
+        was_hit = d_enc > 0.0
+        present = d_enc != 0.0  # +-0.0 -> absent (IEEE: -0.0 == 0.0)
+        d = jnp.abs(d_enc)
     half = TOLERANCE_CELLS / 2.0
     dm = jnp.maximum(d - half, 0.0)
     a_sq = jnp.where(was_hit, dm * dm, d * d)
@@ -455,7 +544,7 @@ def _params(pp_ref, i):
 def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
                     table_ref, lik_ref, *, wr, wc, num_beams,
                     logical_rows, logical_cols, ppb, crop128,
-                    lik_scratch=None):
+                    lik_scratch=None, qu=None):
     """THE per-particle compute on a [wr, wc] window pair (shared by the
     resident kernels' sliced map views and the HBM kernel's DMA'd
     scratch window): optional roll to a robot-centered 128-lane view,
@@ -503,7 +592,7 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
     out = _cell_pass(w32, params, table_ref, wr=wr, cols=cw,
                      num_beams=num_beams, r0=r0,
                      logical_rows=logical_rows,
-                     logical_cols=logical_cols, c0=ceff)
+                     logical_cols=logical_cols, c0=ceff, qu=qu)
     if pair:
         out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
         w_out[...] = pltpu.bitcast(
@@ -520,7 +609,7 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
 def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
                    table_ref, lik_ref, k, *, wr, cols, wc, num_beams,
                    logical_rows, logical_cols, ppb, crop128,
-                   lik_scratch=None):
+                   lik_scratch=None, qu=None):
     """One particle of the resident kernels: slice the [wr, wc] window
     views out of the (VMEM-resident) maps and run the shared compute."""
     r0 = pl.multiple_of(off_ref[i], 8)
@@ -535,7 +624,8 @@ def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
     _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
                     table_ref, lik_ref, wr=wr, wc=wc, num_beams=num_beams,
                     logical_rows=logical_rows, logical_cols=logical_cols,
-                    ppb=ppb, crop128=crop128, lik_scratch=lik_scratch)
+                    ppb=ppb, crop128=crop128, lik_scratch=lik_scratch,
+                    qu=qu)
 
 
 def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
@@ -555,7 +645,7 @@ def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
 
 def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
                 pp_ref, table_ref, lik_scratch, *, wr, num_beams,
-                logical_rows, logical_cols):
+                logical_rows, logical_cols, qu=None):
     """Two particles, ONE [wr, 128] cell-pass evaluation: particle A's
     disc occupies view lanes [0, 64), B's [64, 128) (view lane l maps to
     grid column l + gofs[l]).  The ALU-bound per-cell pass is pure
@@ -600,7 +690,7 @@ def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
                       num_beams=num_beams, r0=r0v,
                       logical_rows=logical_rows,
                       logical_cols=logical_cols, c0=gofs,
-                      return_inc=True)
+                      return_inc=True, qu=qu)
 
     l64 = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1) < 64
     incA = pltpu.roll(jnp.where(l64, incp, 0.0), uA, 1)
@@ -615,7 +705,7 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                      grid_in, lik_ref, grid_out, xi_s=None, yi_s=None,
                      use_s=None, odds_s=None, *, wr, cols, wc, num_beams,
                      logical_rows, logical_cols, ppb, crop128,
-                     pack2=False):
+                     pack2=False, qu=None):
     """``ppb`` particles per grid program (statically unrolled).
 
     Per-program overhead is the measured bottleneck of this kernel, not
@@ -638,7 +728,7 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                         grid_out.at[iB], iA, iB, kA, kB, off_ref,
                         uoff_ref, pp_ref, table_ref, scr, wr=wr,
                         num_beams=num_beams, logical_rows=logical_rows,
-                        logical_cols=logical_cols)
+                        logical_cols=logical_cols, qu=qu)
         _lik_finish_batched(odds_s, use_s, lik_ref)
         return
     for k in range(ppb):
@@ -648,7 +738,7 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                        cols=cols, wc=wc, num_beams=num_beams,
                        logical_rows=logical_rows,
                        logical_cols=logical_cols, ppb=ppb,
-                       crop128=crop128, lik_scratch=scr)
+                       crop128=crop128, lik_scratch=scr, qu=qu)
     if scr is not None:
         _lik_finish_batched(odds_s, use_s, lik_ref)
 
@@ -657,7 +747,8 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                          pv_ref, table_ref, grid_in, lik_ref, grid_out,
                          xi_s=None, yi_s=None, use_s=None, odds_s=None, *,
                          wr, cols, wc, num_beams, logical_rows,
-                         logical_cols, ppb, crop128, pack2=False):
+                         logical_cols, ppb, crop128, pack2=False,
+                         qu=None):
     """Deferred-resample variant: particle i continues lineage
     ``anc_ref[i]`` — the systematic-resample ancestor gather becomes an
     index indirection here instead of a separate whole-map ``jnp.take``
@@ -685,7 +776,7 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                         grid_out.at[iB], iA, iB, kA, kB, off_ref,
                         uoff_ref, pp_ref, table_ref, scr, wr=wr,
                         num_beams=num_beams, logical_rows=logical_rows,
-                        logical_cols=logical_cols)
+                        logical_cols=logical_cols, qu=qu)
         _lik_finish_batched(odds_s, use_s, lik_ref)
         return
     for k in range(ppb):
@@ -697,7 +788,7 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                        cols=cols, wc=wc, num_beams=num_beams,
                        logical_rows=logical_rows,
                        logical_cols=logical_cols, ppb=ppb,
-                       crop128=crop128, lik_scratch=scr)
+                       crop128=crop128, lik_scratch=scr, qu=qu)
     if scr is not None:
         _lik_finish_batched(odds_s, use_s, lik_ref)
 
@@ -706,7 +797,7 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, pv_ref,
                     table_ref, grid_in, lik_ref, grid_out, win, sem_in,
                     sem_out, sem_band, xi_s=None, yi_s=None, use_s=None,
                     odds_s=None, *, wr, wc, num_beams, logical_rows,
-                    logical_cols, ppb, crop128, rows):
+                    logical_cols, ppb, crop128, rows, qu=None):
     """Deferred-lineage HBM kernel: the resample's map copy FUSED into the
     update's own DMA schedule (particle.rs:78-105 + map.rs:71-145 in one
     pass).
@@ -810,7 +901,7 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, pv_ref,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr)
+                        crop128=crop128, lik_scratch=scr, qu=qu)
         if band > 0:
             ba, bb = band_copies(j, slot, k)
             ba.wait()
@@ -866,7 +957,8 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
                        lik_ref, grid_out, stage, win, sem_in, sem_out,
                        sem_band, sem_stage, xi_s=None, yi_s=None,
                        use_s=None, odds_s=None, *, wr, wc, num_beams,
-                       logical_rows, logical_cols, ppb, crop128, rows):
+                       logical_rows, logical_cols, ppb, crop128, rows,
+                       qu=None):
     """Deferred-lineage HBM kernel WITH in-place aliasing — the design
     :func:`_kernel_hbm_anc` measured out of reach (its docstring: a
     lineage kernel cannot alias its in/out grid buffers, and the
@@ -999,7 +1091,7 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr)
+                        crop128=crop128, lik_scratch=scr, qu=qu)
         if band > 0:
             @pl.when(spos_ref[i] >= 0)
             def _():
@@ -1020,7 +1112,8 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
 def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                 grid_in, lik_ref, grid_out, win, sem_in, sem_out,
                 xi_s=None, yi_s=None, use_s=None, odds_s=None, *, wr, wc,
-                num_beams, logical_rows, logical_cols, ppb, crop128):
+                num_beams, logical_rows, logical_cols, ppb, crop128,
+                qu=None):
     """HBM-grid variant: the per-particle window is BOTH row- and
     column-cropped ([wr, wc] with a 128-aligned column offset), so huge
     maps (config 3: 1000x1024 cells) move only the scan-disc
@@ -1090,7 +1183,7 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr)
+                        crop128=crop128, lik_scratch=scr, qu=qu)
         out_copy(j, slot, k).start()
 
     if scr is not None:
@@ -1219,8 +1312,14 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
                     r0.astype(jnp.float32), ceff.astype(jnp.float32),
                     zero, zero], axis=-1)
 
-    table = encode_beam_table(distances / spec.resolution, valid, present,
-                              angles0, dphi)
+    # packed-row gather quantum (static): bins <= 381 always here (the
+    # 384-bin assert above); d snaps to qu cells in the cell pass — the
+    # fused path's documented quantization (<= half a quantum per ISM
+    # interval bound; 1/8 cell at reference ranges)
+    qu = (pack3_quantum(max_range_m / spec.resolution)
+          if num_beams <= 381 else None)
+    table = encode_beam_table(distances / spec.resolution, valid,
+                              present, angles0, dphi, pack_quantum=qu)
 
     deferred = ancestors is not None
     staged = deferred and not resident and hbm_lineage == "staged"
@@ -1232,22 +1331,25 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         kernel = functools.partial(
             _kernel_hbm_staged if staged else _kernel_hbm_anc, wr=wr,
             wc=wc, num_beams=num_beams, logical_rows=spec.rows,
-            logical_cols=spec.cols, ppb=ppb, crop128=crop128, rows=rows)
+            logical_cols=spec.cols, ppb=ppb, crop128=crop128, rows=rows,
+            qu=qu)
     elif deferred:
         kernel = functools.partial(
             _kernel_resident_anc, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
-            logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2)
+            logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2,
+            qu=qu)
     elif resident:
         kernel = functools.partial(
             _kernel_resident, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
-            logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2)
+            logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2,
+            qu=qu)
     else:
         kernel = functools.partial(
             _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
             logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-            crop128=crop128)
+            crop128=crop128, qu=qu)
     space = pltpu.VMEM if resident else pl.ANY
     if resident:
         scratch = []
@@ -1398,8 +1500,12 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
         bins_f = jnp.where(wrap, 0.0, bins_f)
         bins_f = jnp.where(absent, float(num_beams), bins_f)
         bins = bins_f.astype(jnp.int32)
-        # mirror of the kernel's squared-space decode (single gather)
+        # mirror of the kernel's squared-space decode (single gather),
+        # including the packed row's static distance quantum
         d_enc = table[0][bins]
+        if num_beams <= 381:
+            d_enc = quantize_d_enc(
+                d_enc, pack3_quantum(max_range_m / spec.resolution))
         was_hit = d_enc > 0.0
         pres = d_enc != 0.0
         d = jnp.abs(d_enc)
