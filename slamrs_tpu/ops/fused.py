@@ -84,6 +84,12 @@ Array = jnp.ndarray
 
 _BEAM_PAD = 512  # beam table lanes (360 -> 3 gather chunks of 128 + pad)
 
+# shared-window cache slots (staged HBM kernel): covers the measured
+# group counts at the concentrated-lineage configs (0.02 m: ~11-40
+# unique ancestors x 1-4 (r0, u0) variants each); overflow groups fall
+# back to the uncached path — correct, just unshared
+_SHAREWIN_SLOTS = 112
+
 
 def fits_vmem_resident(grid_bytes: int) -> bool:
     """THE residency heuristic (single definition — callers must not
@@ -952,13 +958,77 @@ def staged_lineage_plan(ancestors: Array):
     return spos, usrc, count
 
 
-def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
-                       uoff_ref, pp_ref, pv_ref, table_ref, grid_in,
-                       lik_ref, grid_out, stage, win, sem_in, sem_out,
-                       sem_band, sem_stage, xi_s=None, yi_s=None,
-                       use_s=None, odds_s=None, *, wr, wc, num_beams,
-                       logical_rows, logical_cols, ppb, crop128, rows,
-                       qu=None):
+def shared_window_plan(spos: Array, r0: Array, u0: Array, nw: int):
+    """Host-side (traced) window dedup for :func:`_kernel_hbm_staged`'s
+    shared-window cache: particles whose pre-update window is the SAME
+    BYTES — same stage slot, same (8-aligned) window row origin, same
+    (8-quantized) compute-view roll — share one DMA + one roll.
+
+    Resampled lineages at the configs this kernel serves are extremely
+    concentrated (0.02 m: median N_eff ~11/1,024) and the sampled poses
+    of one ancestor's offspring differ by ~a cell, so the ~1,024 window
+    fetch+rolls collapse to a few dozen unique ones.
+
+    Returns (wsel i32[P] — shared-cache slot, -1 = private; wfill
+    i32[P] — 1 when this particle performs the window DMA + roll).  The
+    filler of each group is its LOWEST particle index (stable argsort),
+    so grid programs — which run in particle order — always fill a slot
+    before any sharer reads it.  In-place particles (``spos < 0``) own
+    unique maps and never share; groups past ``nw`` fall back to the
+    private path (correct, just uncached).
+    """
+    p = spos.shape[0]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    key = spos * 32768 + (r0 // 8) * 32 + u0 // 8
+    key = jnp.where(spos >= 0, key, 2**30 + idx)
+    order = jnp.argsort(key, stable=True)
+    ks = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot_sorted = jnp.where((ks < 2**30) & (gid < nw), gid, -1)
+    fill_sorted = (first | (slot_sorted < 0)).astype(jnp.int32)
+    wsel = jnp.zeros((p,), jnp.int32).at[order].set(slot_sorted)
+    wfill = jnp.zeros((p,), jnp.int32).at[order].set(fill_sorted)
+    return wsel, wfill
+
+
+def _cached_body(w_out, i, k, r0, uoff_ref, pp_ref, table_ref, lik_ref,
+                 wcache, cslot, fill, *, wr, num_beams, logical_rows,
+                 logical_cols, lik_scratch, qu):
+    """Shared-window-cache variant of :func:`_window_compute` (pair-mode
+    crop128, full-width windows): the pre-rolled i32 sublane-pair window
+    lives in ``wcache[cslot]``.  Fillers (``fill == 1``) produce it from
+    their just-DMA'd ``w_out`` bytes — ONE bitcast+roll for the whole
+    group; sharers skip both the DMA and the roll and read the cache.
+    Every particle still writes its own full [wr, wc] window back to
+    ``w_out`` (its pose differs, so its update differs), keeping the
+    out-DMA path identical to the uncached kernel."""
+    u0 = uoff_ref[i]
+
+    @pl.when(fill == 1)
+    def _():
+        pairs = pltpu.bitcast(w_out[...], jnp.int32)  # [wr//2, wc]
+        wcache[cslot] = pltpu.roll(pairs, -u0, 1)
+
+    rolledp = wcache[cslot]
+    w32 = pltpu.bitcast(rolledp[:, :128], jnp.bfloat16).astype(jnp.float32)
+    xi_s, yi_s, _use_s, odds_s = lik_scratch
+    _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=128,
+                     num_beams=num_beams)
+    params = _params(pp_ref, i)
+    out = _cell_pass(w32, params, table_ref, wr=wr, cols=128,
+                     num_beams=num_beams, r0=r0,
+                     logical_rows=logical_rows, logical_cols=logical_cols,
+                     c0=u0, qu=qu)
+    out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
+    w_out[...] = pltpu.bitcast(
+        pltpu.roll(jnp.concatenate([out_p, rolledp[:, 128:]], axis=1),
+                   u0, 1), jnp.bfloat16)
+
+
+def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, *rest, wr, wc,
+                       num_beams, logical_rows, logical_cols, ppb,
+                       crop128, rows, qu=None, nw=0):
     """Deferred-lineage HBM kernel WITH in-place aliasing — the design
     :func:`_kernel_hbm_anc` measured out of reach (its docstring: a
     lineage kernel cannot alias its in/out grid buffers, and the
@@ -986,7 +1056,29 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
     Parity surface: ParticleFilter::resample's map clone
     (slamrs/slam/src/grid/particle.rs:78-105) fused into
     GridMapSlam::update's weight+integrate pass (slam.rs:45-75).
+
+    ``nw > 0`` enables the SHARED-WINDOW cache (bf16 + crop128 + even
+    ``wr`` geometries): host-planned groups of particles whose window
+    bytes are identical (:func:`shared_window_plan`) do ONE window DMA
+    and ONE packed roll for the whole group — the filler (lowest index)
+    lands it in a VMEM cache of pre-rolled i32 sublane-pairs, sharers
+    skip both.  Private particles (in-place, overflow) run the same
+    uniform body through reserved per-buffer cache slots ``nw + k``
+    (filled and consumed within one program — no cross-program reuse).
+    The roll offsets are 8-quantized by the caller so group members
+    share them exactly (output-neutral: the 128-lane compute view keeps
+    the whole scan disc either way, see fused_update).
     """
+    if nw:
+        wsel_ref, wfill_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref, grid_in,
+     lik_ref, grid_out, stage, win, sem_in, sem_out, sem_band, sem_stage,
+     *tail) = rest
+    if nw:
+        wcache = tail[-1]
+        tail = tail[:-1]
+    xi_s, yi_s, use_s, odds_s = tail if tail else (None, None, None, None)
     band = rows - wr
     j = pl.program_id(0)
     n = pl.num_programs(0)
@@ -1013,13 +1105,16 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
         p_idx = jj * ppb + k
         sp = spos_ref[p_idx]
         rj = pl.multiple_of(off_ref[p_idx], 8)
+        # sharers (wfill == 0) reuse the cached pre-rolled window of
+        # their group's filler — no DMA at all
+        fill = (wfill_ref[p_idx] == 1) if nw else True
 
-        @pl.when(sp >= 0)
+        @pl.when((sp >= 0) & fill if nw else sp >= 0)
         def _():
             pltpu.make_async_copy(stage.at[sp, pl.ds(rj, wr), :],
                                   win.at[s, k], sem_in.at[s, k]).start()
 
-        @pl.when(sp < 0)
+        @pl.when(sp < 0)  # in-place particles always fill (plan invariant)
         def _():
             pltpu.make_async_copy(grid_in.at[p_idx, pl.ds(rj, wr), :],
                                   win.at[s, k], sem_in.at[s, k]).start()
@@ -1027,10 +1122,17 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
     def in_copy_wait(jj, s, k):
         p_idx = jj * ppb + k
         rj = pl.multiple_of(off_ref[p_idx], 8)
+
         # both descriptors move the same [wr, wc] bytes; wait via the
         # own-slot one regardless of which start fired
-        pltpu.make_async_copy(grid_in.at[p_idx, pl.ds(rj, wr), :],
-                              win.at[s, k], sem_in.at[s, k]).wait()
+        def w():
+            pltpu.make_async_copy(grid_in.at[p_idx, pl.ds(rj, wr), :],
+                                  win.at[s, k], sem_in.at[s, k]).wait()
+
+        if nw:
+            pl.when(wfill_ref[p_idx] == 1)(w)
+        else:
+            w()
 
     def band_copies(jj, s, k):
         p_idx = jj * ppb + k
@@ -1086,12 +1188,22 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, off_ref, coff_ref,
         i = j * ppb + k
         in_copy_wait(j, slot, k)
         r0 = pl.multiple_of(off_ref[i], 8)
-        _window_compute(win.at[slot, k], win.at[slot, k], i, k, r0, None,
-                        uoff_ref, pp_ref, table_ref, lik_ref, wr=wr,
-                        wc=wc, num_beams=num_beams,
-                        logical_rows=logical_rows,
-                        logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr, qu=qu)
+        if nw:
+            ws = wsel_ref[i]
+            cslot = jnp.where(ws >= 0, ws, nw + k)
+            _cached_body(win.at[slot, k], i, k, r0, uoff_ref, pp_ref,
+                         table_ref, lik_ref, wcache, cslot, wfill_ref[i],
+                         wr=wr, num_beams=num_beams,
+                         logical_rows=logical_rows,
+                         logical_cols=logical_cols, lik_scratch=scr,
+                         qu=qu)
+        else:
+            _window_compute(win.at[slot, k], win.at[slot, k], i, k, r0,
+                            None, uoff_ref, pp_ref, table_ref, lik_ref,
+                            wr=wr, wc=wc, num_beams=num_beams,
+                            logical_rows=logical_rows,
+                            logical_cols=logical_cols, ppb=ppb,
+                            crop128=crop128, lik_scratch=scr, qu=qu)
         if band > 0:
             @pl.when(spos_ref[i] >= 0)
             def _():
@@ -1298,6 +1410,21 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         # computes on lanes [0, 128) = grid columns [c0+u0, c0+u0+128))
         u0 = jnp.clip(ccol - c0 - 64, 0, wc - 128)
 
+    deferred = ancestors is not None
+    staged = deferred and not resident and hbm_lineage == "staged"
+    # shared-window cache (staged HBM kernel, pair-mode crop128 only):
+    # round the compute-view roll to the nearest 8 so offspring of one
+    # ancestor share window bytes AND roll exactly.  Output-neutral:
+    # crop128's disc gate (2*disc_half + 9 <= 128 => disc_half <= 59)
+    # keeps the robot within view lanes [60, 68] after rounding, so the
+    # whole scan disc still fits lanes [0, 128) and every grid cell
+    # computes the identical update from either view.
+    sharewin = (staged and crop128 and grids.dtype == jnp.bfloat16
+                and wr % 2 == 0 and ppb >= 8)
+    nw = _SHAREWIN_SLOTS if sharewin else 0
+    if sharewin:
+        u0 = jnp.clip((u0 + 4) // 8 * 8, 0, wc - 128)
+
     # per-particle VECTOR params for the batched-lik phase A (VMEM,
     # f32): cx, cy, cos/sin theta, window row offset, and the compute
     # view's effective column origin (c0 is 0 whenever wc == cols, so
@@ -1321,18 +1448,21 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     table = encode_beam_table(distances / spec.resolution, valid,
                               present, angles0, dphi, pack_quantum=qu)
 
-    deferred = ancestors is not None
-    staged = deferred and not resident and hbm_lineage == "staged"
     if deferred and not resident:
         # fused-lineage HBM kernels: full-width windows + disjoint static
         # row bands only (see kernel docstrings); callers gate
         assert wc == cols, "deferred HBM lineage needs full-width windows"
         assert rows - wr <= wr, "deferred HBM lineage needs wr >= rows-wr"
-        kernel = functools.partial(
-            _kernel_hbm_staged if staged else _kernel_hbm_anc, wr=wr,
-            wc=wc, num_beams=num_beams, logical_rows=spec.rows,
-            logical_cols=spec.cols, ppb=ppb, crop128=crop128, rows=rows,
-            qu=qu)
+        if staged:
+            kernel = functools.partial(
+                _kernel_hbm_staged, wr=wr, wc=wc, num_beams=num_beams,
+                logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
+                crop128=crop128, rows=rows, qu=qu, nw=nw)
+        else:
+            kernel = functools.partial(
+                _kernel_hbm_anc, wr=wr, wc=wc, num_beams=num_beams,
+                logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
+                crop128=crop128, rows=rows, qu=qu)
     elif deferred:
         kernel = functools.partial(
             _kernel_resident_anc, wr=wr, cols=cols, wc=wc,
@@ -1369,10 +1499,17 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         n_chunks = -(-num_beams // 128)
         scratch += [pltpu.VMEM((ppb, 128 * n_chunks), jnp.float32)
                     for _ in range(4)]
+    if sharewin:
+        # pre-rolled i32 sublane-pair window cache: nw shared slots +
+        # ppb reserved private slots (~64 KB each; <= 8 MB total)
+        scratch.append(pltpu.VMEM((nw + ppb, wr // 2, wc), jnp.int32))
 
     if staged:
         spos, usrc, cnt = staged_lineage_plan(ancestors)
         prefetch = [spos, usrc, cnt, r0, c0, u0]
+        if sharewin:
+            wsel, wfill = shared_window_plan(spos, r0, u0, nw)
+            prefetch = [spos, usrc, cnt, wsel, wfill, r0, c0, u0]
     elif deferred:
         prefetch = [ancestors.astype(jnp.int32), r0, c0, u0]
     else:

@@ -12,7 +12,8 @@ import numpy as np
 from slamrs_tpu.core.types import OdometryReading, Scan
 from slamrs_tpu.models import gridslam as gs
 from slamrs_tpu.ops.fused import (encode_beam_table, fused_update,
-                                  fused_update_reference, window_rows)
+                                  fused_update_reference,
+                                  shared_window_plan, window_rows)
 from slamrs_tpu.ops.grid import GridSpec2D, grid_integrate_dense, \
     grid_log_likelihood, dense_window_for
 
@@ -221,6 +222,73 @@ def test_hbm_deferred_lineage_matches_gather_then_kernel():
                                           err_msg=f"{lineage} {anc_np}")
             np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2),
                                           err_msg=f"{lineage} {anc_np}")
+
+
+def test_shared_window_plan_groups_fillers_overflow():
+    """shared_window_plan invariants: equal (stage slot, r0/8, u0/8)
+    keys share a slot with exactly the LOWEST particle index filling;
+    in-place particles (spos < 0) are private; groups past ``nw``
+    fall back to private (fill=1, slot=-1)."""
+    spos = jnp.array([0, 0, 0, -1, 1, 1, 2, -1], jnp.int32)
+    r0 = jnp.array([8, 8, 16, 8, 8, 8, 8, 8], jnp.int32)
+    u0 = jnp.array([8, 8, 8, 8, 24, 24, 8, 8], jnp.int32)
+    wsel, wfill = map(np.asarray, shared_window_plan(spos, r0, u0, 8))
+    assert list(wfill) == [1, 0, 1, 1, 1, 0, 1, 1]
+    assert wsel[0] == wsel[1] >= 0 and wsel[4] == wsel[5] >= 0
+    assert wsel[2] >= 0 and wsel[6] >= 0
+    assert wsel[3] == -1 and wsel[7] == -1  # in-place: never cached
+    assert len({wsel[0], wsel[2], wsel[4], wsel[6]}) == 4
+    # nw=2: the two lowest-key groups keep slots, the rest overflow
+    wsel2, wfill2 = map(np.asarray, shared_window_plan(spos, r0, u0, 2))
+    assert wsel2[0] == wsel2[1] >= 0 and wsel2[2] >= 0
+    assert wsel2[4] == wsel2[5] == wsel2[6] == -1
+    assert list(wfill2) == [1, 0, 1, 1, 1, 1, 1, 1]
+
+
+def test_hbm_staged_sharewin_bitwise_vs_gather():
+    """The shared-window cache (bf16 + crop128 staged kernel:
+    shared_window_plan + ops.fused._cached_body) must be bitwise
+    identical to materializing the resample (jnp.take) and running the
+    plain HBM kernel: sharing a pre-rolled window and rounding the roll
+    offset to 8 changes which LANE a grid cell computes on, never any
+    per-cell value (crop128's disc gate keeps the whole disc inside the
+    view after rounding).  Poses are CLUSTERED per ancestor with jitter
+    spanning 8-cell boundaries, so the plan produces real shared groups,
+    split groups, and private particles in the same call."""
+    spec = GridSpec2D(-2.56, -2.0, 5.12, 4.0, 0.02)  # 200 x 256 cells
+    p = 16
+    grids = (jax.random.normal(jax.random.key(31), (p, 200, 256),
+                               jnp.float32) * 0.5)
+    grids = grids.at[:, ::3, ::2].set(0.0).astype(jnp.bfloat16)
+    centers = jnp.array([[0.3, -0.2], [-1.5, 0.8], [1.7, 1.1],
+                         [-0.4, -1.2]], jnp.float32)
+    kj, kt = jax.random.split(jax.random.key(32))
+    jit_xy = jax.random.uniform(kj, (p, 2), jnp.float32, -0.08, 0.08)
+    xy = centers[jnp.arange(p) % 4] + jit_xy
+    theta = jax.random.uniform(kt, (p,), jnp.float32, -3.0, 3.0)
+    poses = jnp.concatenate([xy, theta[:, None]], axis=-1)
+    dist = jax.random.uniform(jax.random.key(33), (B,), jnp.float32,
+                              0.1, 1.0)
+    valid = jax.random.bernoulli(jax.random.key(34), 0.8, (B,))
+    present = jnp.ones((B,), bool)
+    a0 = jnp.float32(0.0)
+    concentrated = [0] * 6 + [4] * 5 + [9] * 4 + [12]  # 12 is lone self
+    patterns = (concentrated, list(range(p)), [7] * p,
+                [3, 0, 0, 5, 3, 7, 1, 1, 9, 9, 9, 11, 2, 2, 14, 15])
+    for anc_np in patterns:
+        anc = jnp.asarray(anc_np, jnp.int32)
+        g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
+                              spec, B, 1.0, resident=False,
+                              interpret=True, ancestors=anc,
+                              hbm_lineage="staged")
+        g2, l2 = fused_update(jnp.take(grids, anc, axis=0), poses, a0,
+                              dist, valid, present, spec, B, 1.0,
+                              resident=False, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(g1, np.float32), np.asarray(g2, np.float32),
+            err_msg=f"{anc_np}")
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2),
+                                      err_msg=f"{anc_np}")
 
 
 def test_gridslam_staged_lineage_bitwise_vs_gather():
