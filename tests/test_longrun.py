@@ -14,7 +14,7 @@ Runtime is ~1-2 minutes (the oracle is deliberately pure python), so the
 module is gated behind ``SLAMRS_LONGRUN=1`` — run via ``make longrun``.
 Each test prints its measured values; thresholds gate regressions, not
 noise (recorded run: oracle parity exact over all 71 frames; 500-update
-map agreement 0.846 bf16-fused vs f32-dda).
+map agreement 0.825 bf16-fused vs f32-dda).
 """
 
 import os
@@ -134,9 +134,13 @@ def _rollout_longrun(integrate: str, T: int, p: int = 8, seed: int = 7,
 def test_longrun_fused_vs_dda_500_updates():
     """500 consecutive scan updates: the fused Pallas path must stay
     within rasterization-noise deviation of the exact DDA path, and BOTH
-    must track ground truth.  Thresholds are ~1.5-2x the values measured
-    on this config (seed 7, printed for re-recording): dda tail drift
-    86 mm, fused 37 mm, path RMSE 55 mm, map agreement 0.846."""
+    must track ground truth.  Recorded run at seed 7 (printed for
+    re-recording): dda tail drift 86.1 mm, fused 98.6 mm, path RMSE
+    76.1 mm, map agreement 0.825.  Tail drift is CHAOTIC, not a path
+    property — a 5-seed study (seeds 3/5/7/11/13) measured dda
+    86-317 mm (mean 175) vs fused 34-387 mm (mean 166), fully
+    overlapping distributions — so the thresholds gate divergence
+    blow-ups at the pinned seed, not mm-level quality shifts."""
     T = 500
     best_d, true_d, grid_d = _rollout_longrun("dda", T)
     best_f, true_f, grid_f = _rollout_longrun("fused", T,
