@@ -362,14 +362,15 @@ def _endpoint_lik(w32, params, table_ref, *, wr, cols, num_beams, r0,
 def _fold_select(g, yi_f, *, wr):
     """``g[yi[l], l]`` per lane via 8-aligned binary halving selects +
     a final one-hot over one [8,128] vreg — bitwise-exact row select
-    (exactly one row matches), ~1/3 the vreg ops of a full-height
-    one-hot.  ``g`` [wr,128] f32, ``yi_f`` [1,128] f32 in [0, wr)."""
+    (exactly one row matches, and for i32 the one-hot sum is exact by
+    construction), ~1/3 the vreg ops of a full-height one-hot.
+    ``g`` [wr,128] f32 or i32, ``yi_f`` [1,128] f32 in [0, wr)."""
     wf = 8
     while wf < wr:
         wf *= 2
     if wf > wr:
         g = jnp.concatenate(
-            [g, jnp.zeros((wf - wr, 128), jnp.float32)], axis=0)
+            [g, jnp.zeros((wf - wr, 128), g.dtype)], axis=0)
     yy = yi_f
     h = wf
     while h > 8:
@@ -379,7 +380,8 @@ def _fold_select(g, yi_f, *, wr):
         yy = yy - jnp.where(sel, float(h), 0.0)
     hot = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(
         jnp.float32) == jnp.broadcast_to(yy, (8, 128)))
-    return jnp.sum(jnp.where(hot, g, 0.0), axis=0, keepdims=True)
+    return jnp.sum(jnp.where(hot, g, jnp.zeros_like(g)), axis=0,
+                   keepdims=True)
 
 
 def supports_pack2(spec: GridSpec2D, max_range_m: float, cols: int,
@@ -454,6 +456,35 @@ def _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, *, wr, cw, num_beams):
                                        sub, axis=1)
             g = g + part * mf if cw > 128 else part
         odds_s[k:k + 1, sl] = _fold_select(g, yi, wr=wr)
+
+
+def _lik_gather_fold_packed(pairs128, xi_s, yi_s, odds_s, k, *, wrp,
+                            num_beams):
+    """Batched likelihood phase B off the PACKED bf16 window (i32
+    sublane pairs, ``[wrp, 128]`` = ``[wr//2, 128]`` compute view, which
+    the bf16 kernels already hold for the cell pass): the endpoint
+    column gather moves half the rows of the unpacked form and the fold
+    halves its depth; the stored bf16 is then recovered BIT-EXACTLY by
+    a 16-bit extract + widen (a bf16 is the top half of its f32, so
+    ``bits << 16`` bitcast to f32 equals ``bf16.astype(f32)``).  The
+    fold runs in the i32 domain — value selects + a one-hot sum of
+    exactly one nonzero row are exact for integers, with no -0.0 /
+    NaN-payload hazards a bitcast-to-f32 sum would have.  Output is
+    bitwise identical to :func:`_lik_gather_fold` on the unpacked
+    window."""
+    n_chunks = -(-num_beams // 128)
+    for bc in range(n_chunks):
+        sl = slice(bc * 128, (bc + 1) * 128)
+        xi = xi_s[k:k + 1, sl]
+        yi = yi_s[k:k + 1, sl]
+        yh = jnp.floor(yi * 0.5)  # pair row; small ints exact in f32
+        sub = jnp.broadcast_to(xi, (wrp, 128)).astype(jnp.int32)
+        g = jnp.take_along_axis(pairs128, sub, axis=1)
+        v = _fold_select(g, yh, wr=wrp)  # [1, 128] i32 pair
+        odd = (yi - 2.0 * yh) > 0.5
+        half16 = jnp.where(odd, jax.lax.shift_right_logical(v, 16), v)
+        odds_s[k:k + 1, sl] = pltpu.bitcast(
+            jax.lax.shift_left(half16, 16), jnp.float32)
 
 
 def _lik_finish_batched(odds_s, use_s, lik_ref):
@@ -562,6 +593,7 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
     # unpack only the 128 compute lanes.  Halves the roll+cast traffic
     # of the crop128 path.
     pair = crop128 and w_out.dtype == jnp.bfloat16 and wr % 2 == 0
+    rolledp = None
     if pair:
         u0 = uoff_ref[i]
         pairs = pltpu.bitcast(w_in[...], jnp.int32)  # [wr//2, wc]
@@ -584,10 +616,16 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
     if lik_scratch is not None:
         # batched-lik mode: phase A already produced this particle's
         # endpoint indices; only the gather+fold is inherently
-        # per-particle (phase C finishes the mixture for the program)
+        # per-particle (phase C finishes the mixture for the program).
+        # bf16 pair windows gather PACKED (half the rows + fold depth,
+        # bit-exact 16-bit extract).
         xi_s, yi_s, _use_s, odds_s = lik_scratch
-        _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=cw,
-                         num_beams=num_beams)
+        if pair:
+            _lik_gather_fold_packed(rolledp[:, :128], xi_s, yi_s, odds_s,
+                                    k, wrp=wr // 2, num_beams=num_beams)
+        else:
+            _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=cw,
+                             num_beams=num_beams)
     else:
         lik = _endpoint_lik(w32, params, table_ref, wr=wr, cols=cw,
                             num_beams=num_beams, r0=r0,
@@ -669,15 +707,28 @@ def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
     r0B = pl.multiple_of(off_ref[iB], 8)
     uA = uoff_ref[iA]
     uB = uoff_ref[iB]
-    wA = srcA[pl.ds(r0A, wr), :].astype(jnp.float32)
-    wB = srcB[pl.ds(r0B, wr), :].astype(jnp.float32)
-
-    # likelihood phase B on the raw pre-update windows
     xi_s, yi_s, _use_s, odds_s = lik_scratch
-    _lik_gather_fold(wA, xi_s, yi_s, odds_s, kA, wr=wr, cw=128,
-                     num_beams=num_beams)
-    _lik_gather_fold(wB, xi_s, yi_s, odds_s, kB, wr=wr, cw=128,
-                     num_beams=num_beams)
+    if dstA.dtype == jnp.bfloat16:
+        # load once as i32 sublane pairs: the likelihood gathers the
+        # packed form (half the rows + fold depth, bit-exact extract)
+        # and the f32 windows for the update add come from the same bits
+        wAp = pltpu.bitcast(srcA[pl.ds(r0A, wr), :], jnp.int32)
+        wBp = pltpu.bitcast(srcB[pl.ds(r0B, wr), :], jnp.int32)
+        wA = pltpu.bitcast(wAp, jnp.bfloat16).astype(jnp.float32)
+        wB = pltpu.bitcast(wBp, jnp.bfloat16).astype(jnp.float32)
+        _lik_gather_fold_packed(wAp, xi_s, yi_s, odds_s, kA, wrp=wr // 2,
+                                num_beams=num_beams)
+        _lik_gather_fold_packed(wBp, xi_s, yi_s, odds_s, kB, wrp=wr // 2,
+                                num_beams=num_beams)
+    else:
+        wA = srcA[pl.ds(r0A, wr), :].astype(jnp.float32)
+        wB = srcB[pl.ds(r0B, wr), :].astype(jnp.float32)
+
+        # likelihood phase B on the raw pre-update windows
+        _lik_gather_fold(wA, xi_s, yi_s, odds_s, kA, wr=wr, cw=128,
+                         num_beams=num_beams)
+        _lik_gather_fold(wB, xi_s, yi_s, odds_s, kB, wr=wr, cw=128,
+                         num_beams=num_beams)
 
     lrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < 64
 
@@ -1013,8 +1064,8 @@ def _cached_body(w_out, i, k, r0, uoff_ref, pp_ref, table_ref, lik_ref,
     rolledp = wcache[cslot]
     w32 = pltpu.bitcast(rolledp[:, :128], jnp.bfloat16).astype(jnp.float32)
     xi_s, yi_s, _use_s, odds_s = lik_scratch
-    _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, wr=wr, cw=128,
-                     num_beams=num_beams)
+    _lik_gather_fold_packed(rolledp[:, :128], xi_s, yi_s, odds_s, k,
+                            wrp=wr // 2, num_beams=num_beams)
     params = _params(pp_ref, i)
     out = _cell_pass(w32, params, table_ref, wr=wr, cols=128,
                      num_beams=num_beams, r0=r0,

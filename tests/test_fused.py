@@ -224,6 +224,34 @@ def test_hbm_deferred_lineage_matches_gather_then_kernel():
                                           err_msg=f"{lineage} {anc_np}")
 
 
+def test_pack2_packed_lik_matches_unpacked_bf16():
+    """The packed-window likelihood fold (_lik_gather_fold_packed: i32
+    sublane-pair gather + half-depth fold + 16-bit extract) must be
+    BITWISE identical to the unpacked fold.  pack2=True routes phase B
+    through the packed fold; pack2=False on the same bf16 geometry
+    (cols == 128, so no crop128 pair either) uses _lik_gather_fold on
+    the unpacked f32 window — disjoint code paths, same bits.  The grid
+    update differs only by pack2's virtual-coordinate increment
+    evaluation (same ops, same order — fma-contraction class)."""
+    grids, poses, dist, valid, present = _mk(p=8, seed=41)
+    grids = grids.astype(jnp.bfloat16)
+    a0 = jnp.float32(0.0)
+    g1, l1 = fused_update(grids, poses, a0, dist, valid, present,
+                          SPEC, B, 1.0, interpret=True, pack2=True)
+    g2, l2 = fused_update(grids, poses, a0, dist, valid, present,
+                          SPEC, B, 1.0, interpret=True, pack2=False)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    d1 = np.asarray(g1, np.float32)
+    d2 = np.asarray(g2, np.float32)
+    assert float((d1 == d2).mean()) > 0.999
+    np.testing.assert_allclose(d1, d2, atol=0.06)
+    # and ground the likelihood against the direct-indexing oracle
+    _, lr = fused_update_reference(grids, poses, a0, dist, valid,
+                                   present, SPEC, B, 1.0)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lr),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_shared_window_plan_groups_fillers_overflow():
     """shared_window_plan invariants: equal (stage slot, r0/8, u0/8)
     keys share a slot with exactly the LOWEST particle index filling;
