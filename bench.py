@@ -61,7 +61,7 @@ def _marginal(make_run, state, n1, n2, reps=3):
 def bench_grid_slam(particles=1024, width=4.0, resolution=0.05,
                     num_beams=360, update_period=0.2, neff=0.5,
                     integrate="fused", grid_dtype="bfloat16",
-                    n1=50, n2=2050, reps=3):
+                    resample_cow=None, n1=50, n2=2050, reps=3):
     from slamrs_tpu.core.types import Command
     from slamrs_tpu.graph.compile import make_fused
     from slamrs_tpu.models.gridslam import GridSlamConfig
@@ -71,7 +71,7 @@ def bench_grid_slam(particles=1024, width=4.0, resolution=0.05,
         position_x=-width / 2, position_y=-width / 2, width=width,
         height=width, resolution=resolution, n_particles=particles,
         max_scan_range=1.0, resample_neff_frac=neff, integrate=integrate,
-        grid_dtype=grid_dtype)
+        grid_dtype=grid_dtype, resample_cow=resample_cow)
     fw = make_fused(params=SimParams.make(update_period=update_period),
                     grid_config=grid_cfg, num_beams=num_beams)
     state = fw.init()
@@ -291,6 +291,16 @@ def main() -> None:
                  "ticks/s")
         except Exception as e:
             print(f"  config3 bench failed: {e}", file=sys.stderr)
+        try:
+            # config 3 with TILE-POOL maps (ops/tiles.py): resampling
+            # relabels a band table; only written bands privatize
+            v = bench_grid_slam(particles=1024, width=50.0, resolution=0.05,
+                                grid_dtype="bfloat16", resample_cow="tiled",
+                                n1=10, n2=110)
+            note("grid_slam_ticks_per_s_config3_tiled_1024p_50m", v,
+                 "ticks/s")
+        except Exception as e:
+            print(f"  config3 tiled bench failed: {e}", file=sys.stderr)
         try:
             # the exact reference-parity scatter path (fidelity gates run
             # on this formulation; see tests/test_parity.py)

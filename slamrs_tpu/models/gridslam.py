@@ -83,7 +83,12 @@ class GridSlamConfig:
     # the whole-set gather behind an N_eff cond.  "deferred" pins the
     # older NON-aliased band kernel (ops.fused._kernel_hbm_anc): correct
     # and tested, but a measured dead end (no aliasing costs ~318 us;
-    # benchmarks/README.md) — kept as documentation.
+    # benchmarks/README.md) — kept as documentation.  "tiled" switches
+    # the map STORAGE to a shared tile pool + per-particle band table
+    # (ops.tiles): resampling relabels the table (zero map bytes) and
+    # only the 2 bands a particle writes are privatized copy-on-write —
+    # the config-3 formulation (2 GB map sets, where whole-map CoW is
+    # the measured HBM-bound step cost).  Unbatched worlds only.
     resample_cow: bool | str | None = None
     # mesh-sharded fleet resampling mode: "local" relabels slots
     # local-first so only spilled unique maps cross devices
@@ -109,7 +114,7 @@ class GridSlamConfig:
 
 class GridSlamState(NamedTuple):
     poses: Array  # f32[..., P, 3]
-    grids: Array  # f32[..., P, H, W] log-odds
+    grids: Array  # f32[..., P, H, W] log-odds (tiled: the tile POOL)
     weights: Array  # f32[..., P] normalized
     best_pose: Array  # f32[..., 3] argmax-weight particle pose
     best_idx: Array  # i32[...]
@@ -118,16 +123,32 @@ class GridSlamState(NamedTuple):
     # into the next update's kernel (an index indirection there); all
     # other paths keep it applied, i.e. ancestors == identity.
     ancestors: Array  # i32[..., P]
+    # tiled maps only (resample_cow="tiled"): per-particle band table —
+    # logical band b of particle i lives in pool tile tile_table[i, b]
+    # (ops/tiles.py).  None for dense map storage.
+    tile_table: Array | None = None  # i32[P, nb]
 
     @staticmethod
     def init(config: GridSlamConfig, batch_shape=()) -> "GridSlamState":
         p = config.n_particles
         spec = config.grid_spec
+        tile_table = None
         if config.integrate == "fused":
             dtype = jnp.bfloat16 if config.grid_dtype == "bfloat16" \
                 else jnp.float32
-            grids = jnp.zeros(
-                (*batch_shape, p, spec.rows, config.padded_cols), dtype)
+            if config.resample_cow == "tiled":
+                if batch_shape:
+                    raise ValueError(
+                        "tiled maps support unbatched worlds only "
+                        "(the CoW plan is per-call)")
+                from slamrs_tpu.ops.tiles import init_tiled
+
+                grids, tile_table = init_tiled(
+                    p, spec, config.max_scan_range, dtype=dtype)
+            else:
+                grids = jnp.zeros(
+                    (*batch_shape, p, spec.rows, config.padded_cols),
+                    dtype)
         else:
             grids = spec.new_grid((*batch_shape, p))
         return GridSlamState(
@@ -138,6 +159,7 @@ class GridSlamState(NamedTuple):
             best_idx=jnp.zeros(batch_shape, jnp.int32),
             ancestors=jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32),
                                        (*batch_shape, p)),
+            tile_table=tile_table,
         )
 
 
@@ -191,7 +213,21 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     # 2+3) weights log p(z|x,m) + integrate (slam.rs:62, 67).  The fused
     # path does both in one Pallas VMEM pass; the others are separate ops.
     deferred = False
-    if config.integrate == "fused":
+    tiled = (config.integrate == "fused"
+             and config.resample_cow == "tiled")
+    new_table = None
+    if tiled:
+        from slamrs_tpu.ops.tiles import fused_update_tiled
+
+        nb_beams = scan.angles.shape[-1]
+        dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb_beams > 1
+                else jnp.float32(2.0 * jnp.pi))
+        grids, new_table, log_lik = fused_update_tiled(
+            state.grids, state.tile_table, new_poses, scan.angles[..., 0],
+            scan.distances, scan.valid, scan.present, spec, nb_beams,
+            config.max_scan_range, dphi=dphi,
+            interpret=jax.default_backend() == "cpu")
+    elif config.integrate == "fused":
         from slamrs_tpu.ops.fused import (fits_vmem_resident, fused_update,
                                           supports_deferred_hbm)
 
@@ -257,7 +293,8 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         new_state = GridSlamState(
             poses=new_poses, grids=grids, weights=state.weights,
             best_pose=new_poses[0], best_idx=jnp.int32(0),
-            ancestors=state.ancestors)
+            ancestors=state.ancestors,
+            tile_table=new_table if tiled else state.tile_table)
         return new_state, GridSlamOutputs(
             pose=new_poses[0], n_eff=jnp.sum(log_lik),
             resampled=jnp.bool_(False))
@@ -270,10 +307,18 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         config.resample_neff_frac, p)
     best_pose = new_poses[best_idx]
     identity = jnp.arange(p, dtype=jnp.int32)
-    use_cow = (config.integrate == "fused" and not deferred
+    use_cow = (config.integrate == "fused" and not deferred and not tiled
                and (config.resample_cow
                     if config.resample_cow is not None else True))
-    if deferred:
+    if tiled:
+        # tile-pool maps: the resample is a band-TABLE relabel — zero
+        # map bytes move (identity ancestors on N_eff skip make this a
+        # no-op gather); privatization happens copy-on-write inside the
+        # NEXT update's kernel (ops/tiles.py)
+        new_poses = jnp.take(new_poses, ancestors, axis=0)
+        new_table = jnp.take(new_table, ancestors, axis=0)
+        pending = identity
+    elif deferred:
         new_poses = jnp.take(new_poses, ancestors, axis=0)
         pending = ancestors  # grids gathered inside the NEXT kernel call
     elif use_cow:
@@ -301,6 +346,7 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         best_pose=best_pose,
         best_idx=best_idx,
         ancestors=pending,
+        tile_table=new_table if tiled else state.tile_table,
     )
     return new_state, GridSlamOutputs(pose=best_pose, n_eff=n_eff,
                                       resampled=do_resample)
@@ -399,7 +445,11 @@ def estimated_probability_grid(state: GridSlamState,
     particle's log-odds grid converted cell-wise to probability.  For the
     fused path, pass ``config`` to slice off the 128-padded column tail.
     """
-    if state.grids.ndim > 3:  # [..., P, H, W] batched worlds
+    if state.tile_table is not None:  # tiled pool: gather ONE map's tiles
+        from slamrs_tpu.ops.tiles import materialize_one
+
+        grid = materialize_one(state.grids, state.tile_table[state.best_idx])
+    elif state.grids.ndim > 3:  # [..., P, H, W] batched worlds
         idx = state.best_idx[..., None, None, None]
         grid = jnp.take_along_axis(
             state.grids, idx, axis=-3).squeeze(-3)
