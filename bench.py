@@ -215,9 +215,39 @@ def bench_config3_cow_bandwidth(particles=1024, width=50.0,
     return bytes_moved / dt / 1e9, k * map_bytes / 1e6
 
 
+def _require_responsive_backend(timeout_s: int = 240) -> None:
+    """Fail FAST (rc 3, no stdout) when the TPU backend hangs.
+
+    The axon tunnel's failure mode is a client that blocks forever in
+    backend init rather than erroring; a hung bench gives the driver a
+    timeout with no diagnosis.  Probe from a SUBPROCESS (an in-process
+    SIGALRM can't interrupt a blocked extension call) and exit with a
+    clear message instead.  Skipped on the CPU backend (tests)."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as j;"
+             "print(float(j.sum(j.ones((8, 128)))))"],
+            timeout=timeout_s, capture_output=True, check=True)
+    except subprocess.TimeoutExpired:
+        print(f"TPU backend unresponsive after {timeout_s}s (tunnel "
+              "down?) — refusing to hang the bench", file=sys.stderr)
+        sys.exit(3)
+    except subprocess.CalledProcessError as e:
+        print("TPU backend probe failed:\n"
+              + e.stderr.decode(errors="replace")[-2000:], file=sys.stderr)
+        sys.exit(3)
+
+
 def main() -> None:
     headline_only = "--headline-only" in sys.argv
     detail = {}
+    _require_responsive_backend()
 
     def note(name, value, unit):
         detail[name] = {"value": round(value, 2), "unit": unit}
