@@ -226,7 +226,10 @@ def _require_responsive_backend(timeout_s: int = 240) -> None:
     import os
     import subprocess
 
-    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+    # only an EXPLICIT cpu pin skips the probe: on this machine the TPU
+    # backend is selected by the axon sitecustomize even when the env
+    # var is unset, and a genuine CPU-only box answers the probe in ~2 s
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
         return
     try:
         subprocess.run(

@@ -131,6 +131,12 @@ def tiled_plan(table: Array, t0: Array, n_phys: int):
     fresh tiles otherwise.  Requires ``n_phys >= live + 2P`` — guaranteed
     by the ``P*nb + 2P`` sizing since live <= P*nb."""
     p, nb = table.shape
+    # static trace-time guarantee: the free list can always satisfy the
+    # worst case (everything shared, every particle requesting 2 fresh
+    # tiles).  Without it, an undersized pool would silently hand out
+    # tile 0 (jnp.nonzero's fill_value) as a "fresh" destination and
+    # corrupt live maps.
+    assert n_phys >= p * nb + 2 * p, (n_phys, p, nb)
     rows = jnp.arange(p, dtype=jnp.int32)
     bidx = jnp.stack([t0, t0 + 1], axis=-1)  # [P, 2]
     src = jnp.take_along_axis(table, bidx, axis=1)  # [P, 2]
@@ -223,8 +229,9 @@ def _kernel_tiled(src0_ref, src1_ref, dst0_ref, dst1_ref, off_ref,
             in_copy(j, slot, k, half).wait()
         r0 = pl.multiple_of(off_ref[i], 8)  # grid row of the view start
         woff = pl.multiple_of(woff_ref[i], 8)
+        c0 = pl.multiple_of(coff_ref[i], 128)  # window's grid-col offset
         view = win.at[slot, k, pl.ds(woff, wr)]
-        _window_compute(view, view, i, k, r0, None, uoff_ref, pp_ref,
+        _window_compute(view, view, i, k, r0, c0, uoff_ref, pp_ref,
                         table_ref, lik_ref, wr=wr, wc=wc,
                         num_beams=num_beams, logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,

@@ -74,15 +74,14 @@ def test_tiled_plan_invariants():
     src3, dst3, _ = map(np.asarray,
                         jax.jit(tiled_plan, static_argnums=2)(
                             relabeled, t0, n_phys))
-    shared = t0 == t0[0]  # particles whose touched bands collide with p0's
-    # all rows reference p0's tiles; refcounts > 1 wherever >= 2 rows
-    # touch the same band index
+    # all rows reference p0's tiles now; every touched tile is shared by
+    # all P rows (refcount P >= 2) so EVERY request must be fresh
     assert (src3[0] == np.asarray(new_table)[0, [t0[0], t0[0] + 1]]).all()
-    del shared
-    # every dst is unique where fresh
-    fresh = dst3 != src3
-    vals = dst3[fresh].tolist()
+    assert (dst3 != src3).all()
+    # every fresh dst is unique, and none is a live (referenced) tile
+    vals = dst3.reshape(-1).tolist()
     assert len(vals) == len(set(vals))
+    assert not (set(vals) & set(np.asarray(relabeled).reshape(-1).tolist()))
 
 
 def test_tiled_update_matches_dense_kernel():
@@ -110,6 +109,49 @@ def test_tiled_update_matches_dense_kernel():
             np.asarray(mat, np.float32), np.asarray(dense, np.float32),
             err_msg=f"maps step {step}")
         # resample: tiled relabels the table, dense gathers maps
+        anc = jnp.asarray(np.sort(rng.integers(0, P, size=P)), jnp.int32)
+        table = jnp.take(table, anc, axis=0)
+        dense = jnp.take(dense, anc, axis=0)
+
+
+def test_tiled_wide_grid_column_crop_matches_dense():
+    """Column-cropped geometry (padded cols > 256 -> wc=256 + crop128
+    pair path) — the config-3 shape this module exists for.  Guards the
+    window's 128-aligned column offset reaching the cell pass (a c0
+    drop integrates the scan into wrong columns and leaks increments
+    into the padded column tail while the likelihood stays plausible)."""
+    wide = GridSpec2D(-12.8, -6.4, 25.6, 12.8, 0.05)  # 256 x 512 cells
+    hb, nb, cols = tile_geometry(wide, 1.0)
+    assert cols == 512
+    pool, table = init_tiled(P, wide, 1.0, dtype=jnp.bfloat16)
+    dense = jnp.zeros((P, wide.rows, cols), jnp.bfloat16)
+    a0 = jnp.float32(0.0)
+    rng = np.random.default_rng(11)
+    for step in range(3):
+        k = jax.random.key(600 + step)
+        poses = jnp.stack([
+            jax.random.uniform(k, (P,), jnp.float32, -12.2, 12.2),
+            jax.random.uniform(jax.random.fold_in(k, 1), (P,),
+                               jnp.float32, -5.9, 5.9),
+            jax.random.uniform(jax.random.fold_in(k, 2), (P,),
+                               jnp.float32, -3.0, 3.0)], axis=-1)
+        # pin two poses to the x-edges so c0 clamps both ways
+        poses = poses.at[0, 0].set(-12.7).at[1, 0].set(12.7)
+        dist, valid, present = _scan(700 + step)
+        pool, table, lt = fused_update_tiled(
+            pool, table, poses, a0, dist, valid, present, wide, B, 1.0,
+            interpret=True)
+        dense, ld = fused_update(dense, poses, a0, dist, valid, present,
+                                 wide, B, 1.0, resident=False,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(lt), np.asarray(ld),
+                                      err_msg=f"lik step {step}")
+        mat = materialize(pool, table, wide)
+        np.testing.assert_array_equal(
+            np.asarray(mat, np.float32), np.asarray(dense, np.float32),
+            err_msg=f"maps step {step}")
+        # padded column tail must stay exactly 0 (CLAUDE.md invariant)
+        assert (np.asarray(mat, np.float32)[:, :, wide.cols:] == 0).all()
         anc = jnp.asarray(np.sort(rng.integers(0, P, size=P)), jnp.int32)
         table = jnp.take(table, anc, axis=0)
         dense = jnp.take(dense, anc, axis=0)
