@@ -34,6 +34,23 @@ import jax.numpy as jnp
 TARGET = 10_000.0
 
 
+def ticks_per_frame(update_period: float, n: int = 1050) -> float:
+    """Average ticks per scan frame at a cadence: replicates
+    rollout_cadence's f32 accumulator unroll (the true value is NOT
+    period/dt — f32 rounding + remainder carry make 0.2 s ~6.7, not 6)."""
+    if update_period <= 0:
+        return 1.0
+    import numpy as np
+
+    timer, fired = np.float32(0.0), 0
+    for _ in range(n):
+        timer = np.float32(timer + np.float32(1.0 / 30.0))
+        if timer > np.float32(update_period):
+            fired += 1
+            timer = np.float32(timer - np.float32(update_period))
+    return n / max(fired, 1)
+
+
 def _marginal(make_run, state, n1, n2, reps=3):
     """Marginal seconds/step between two jitted scan lengths.
 
@@ -274,7 +291,7 @@ def main() -> None:
                                    grid_dtype="bfloat16", n1=10, n2=110)
         note("config3_ticks_per_s_never_resample", v_never, "ticks/s")
         note("config3_ticks_per_s_always_resample", v_always, "ticks/s")
-        r_us = (1.0 / v_always - 1.0 / v_never) * 6.706 * 1e6
+        r_us = (1.0 / v_always - 1.0 / v_never) * ticks_per_frame(0.2) * 1e6
         note("config3_resample_cost_us_per_scan_frame", r_us, "us")
         with open("BENCH_CONFIG3_BOUND.json", "w") as f:
             json.dump(detail, f, indent=1)

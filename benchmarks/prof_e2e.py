@@ -26,24 +26,11 @@ elif stub == "stub_resample":
     os.environ["SLAMRS_STUB_RESAMPLE"] = "1"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import bench_grid_slam  # noqa: E402
+from bench import bench_grid_slam, ticks_per_frame  # noqa: E402
 
 n2 = 1050
 v = bench_grid_slam(resolution=res, update_period=period,
                     grid_dtype="bfloat16", n2=n2, reps=5)
-# ticks per scan frame: replicate rollout_cadence's f32 accumulator
-# unroll for this period (0.2 s -> ~6.7 average; 0 -> every tick)
-if period > 0:
-    import numpy as np
-    timer, fired = np.float32(0.0), 0
-    for _ in range(n2):
-        timer = np.float32(timer + np.float32(1.0 / 30.0))
-        if timer > np.float32(period):
-            fired += 1
-            timer = np.float32(timer - np.float32(period))
-    ticks_per_frame = n2 / max(fired, 1)
-else:
-    ticks_per_frame = 1.0
-us = ticks_per_frame / v * 1e6
+us = ticks_per_frame(period, n2) / v * 1e6
 print(f"res={res} period={period} stub={stub or 'none'}: "
       f"{v:,.1f} ticks/s  ({us:.1f} us/scan-frame)")

@@ -35,9 +35,13 @@ def cmd_run(args):
                                  target_speed=controls.config.max_speed)
             print("teleop: WASD/arrows drive, space stops, Q quits",
                   file=sys.stderr)
-    app.run(duration_s=args.duration)
-    if teleop is not None:
-        teleop.stop()
+    try:
+        app.run(duration_s=args.duration)
+    finally:
+        # always restore the terminal (cbreak mode) even when run()
+        # raises — a crash must not leave the user's shell without echo
+        if teleop is not None:
+            teleop.stop()
     print(f"ran {args.duration}s of sim time; frame {app.frame_stats}")
     viz = app.node(VisualizerNode)
     if args.png and app.renderer is not None:

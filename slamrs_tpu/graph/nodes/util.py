@@ -97,12 +97,20 @@ class ControlsNode(Node):
         # FusedWorld.commands_for), not per 30 Hz frame
         self._sorted_script = sorted(config.script,
                                      key=lambda r: float(r[0]))
+        self._external = False  # set_command seen: the script yields
 
     def advance(self, dt: float) -> None:
         self.time += dt
 
     def set_command(self, left: float, right: float) -> None:
-        """Programmatic teleop (the keyboard path of controls.rs)."""
+        """Programmatic teleop (the keyboard path of controls.rs).
+
+        The first call suspends the drive script for good: without
+        this, update() republishes the matching script row on the very
+        next 30 Hz frame and every keypress is reverted within ~33 ms.
+        (The reference has no script at all — keyboard IS the source.)
+        """
+        self._external = True
         self._publish(left, right)
 
     def _publish(self, left, right):
@@ -114,6 +122,8 @@ class ControlsNode(Node):
         # earliest matching row wins (rows sorted by until_t — the same
         # selection rule FusedWorld.commands_for applies, so the node
         # graph and the compiled rollout agree on out-of-order scripts)
+        if self._external:
+            return
         for row in self._sorted_script:
             until, left, right = row
             if self.time <= until:

@@ -35,10 +35,21 @@ TPU-first design (not a port):
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# profiling-harness bypasses (benchmarks/prof_e2e.py): frozen at import
+# so a mid-process env leak can't silently flip them, and LOUD — a run
+# with either set produces garbage SLAM output by design
+_STUB_KERNEL = bool(os.environ.get("SLAMRS_STUB_KERNEL"))
+_STUB_RESAMPLE = bool(os.environ.get("SLAMRS_STUB_RESAMPLE"))
+if _STUB_KERNEL or _STUB_RESAMPLE:
+    print("WARNING: SLAMRS_STUB_* profiling bypass active — grid SLAM "
+          "output is fabricated (benchmarks only)", file=sys.stderr)
 
 from slamrs_tpu.core import motion
 from slamrs_tpu.core.types import OdometryReading, Scan
@@ -248,16 +259,24 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         # (_kernel_hbm_anc — measured dead end, benchmarks/README.md).
         hbm_lineage = "bands" if config.resample_cow == "deferred" \
             else "staged"
+        hbm_lineage_ok = supports_deferred_hbm(
+            spec, config.max_scan_range, state.grids.shape[-2],
+            state.grids.shape[-1])
+        if (config.resample_cow in ("staged", "deferred")
+                and not resident and not hbm_lineage_ok):
+            # an EXPLICIT kernel pin must not silently degrade to the
+            # CoW pass — A/B measurements would measure the wrong path
+            raise ValueError(
+                f"resample_cow={config.resample_cow!r} pinned but the "
+                "geometry does not support the lineage HBM kernel "
+                "(needs full-width windows and wr >= rows - wr)")
         deferred = resident or (
             config.resample_cow in (None, "deferred", "staged")
-            and supports_deferred_hbm(spec, config.max_scan_range,
-                                      state.grids.shape[-2],
-                                      state.grids.shape[-1]))
+            and hbm_lineage_ok)
         nb = scan.angles.shape[-1]
         dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb > 1
                 else jnp.float32(2.0 * jnp.pi))
-        import os as _os
-        if _os.environ.get("SLAMRS_STUB_KERNEL"):  # profiling only
+        if _STUB_KERNEL:  # profiling only (loud warning at import)
             grids = state.grids
             log_lik = jnp.sum(state.grids[:, :1, :1].astype(jnp.float32),
                               axis=(1, 2)) + new_poses[:, 0]
@@ -288,8 +307,7 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
                                  odometry.distance_left,
                                  odometry.distance_right, odometry.wheel_base)
 
-    import os as _os
-    if _os.environ.get("SLAMRS_STUB_RESAMPLE"):  # profiling only
+    if _STUB_RESAMPLE:  # profiling only (loud warning at import)
         new_state = GridSlamState(
             poses=new_poses, grids=grids, weights=state.weights,
             best_pose=new_poses[0], best_idx=jnp.int32(0),

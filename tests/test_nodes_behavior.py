@@ -229,3 +229,36 @@ def test_gridmap_node_publishes_unpadded_fused_grid():
     msg = sub.try_recv()
     assert msg is not None
     assert msg.data.shape == (40, 40), msg.data.shape  # not (40, 128)
+
+
+def test_controls_script_yields_to_teleop():
+    """A set_command (the --teleop path) suspends the drive script for
+    good: without this, update() republishes the matching script row on
+    the next 30 Hz frame and every keypress is reverted within ~33 ms."""
+    from slamrs_tpu.graph.nodes.util import ControlsNode, ControlsNodeConfig
+
+    ps = PubSub()
+    node = ControlsNodeConfig(
+        topic_command="cmd",
+        script=[[10.0, 0.05, 0.08]]).instantiate(ps)
+    sub = ps.subscribe("cmd", Command)
+
+    node.advance(1 / 30)
+    node.update()  # script row published
+    ps.tick()
+    cmd = sub.try_recv()
+    np.testing.assert_allclose(
+        [float(cmd.speed_left), float(cmd.speed_right)], [0.05, 0.08],
+        rtol=1e-6)
+
+    node.set_command(0.1, -0.1)  # teleop keypress
+    ps.tick()
+    cmd = sub.try_recv()
+    np.testing.assert_allclose(
+        [float(cmd.speed_left), float(cmd.speed_right)], [0.1, -0.1],
+        rtol=1e-6)
+
+    node.advance(1 / 30)
+    node.update()  # the script must NOT take the command back
+    ps.tick()
+    assert sub.try_recv() is None
