@@ -179,15 +179,21 @@ def test_tiled_edge_windows_match():
         np.asarray(dense, np.float32))
 
 
-def test_gridslam_tiled_bitwise_vs_gather():
+import pytest
+
+
+@pytest.mark.parametrize("neff_frac", [1.0, 0.0])
+def test_gridslam_tiled_bitwise_vs_gather(neff_frac):
     """gs.update with resample_cow="tiled" is bitwise the whole-set
     gather formulation (resample_cow=False): same kernel math, the only
     difference is map storage — so poses, weights, and the materialized
-    best map must match exactly across resampling steps."""
+    best map must match exactly across resampling steps.  neff_frac=1.0
+    resamples every step (fresh-tile CoW path); 0.0 never resamples
+    (identity relabel -> exclusively-owned tiles, pure in-place writes)."""
     kw = dict(position_x=-3.2, position_y=-6.4, width=6.4, height=12.8,
               resolution=0.05, n_particles=P, max_scan_range=1.0,
               integrate="fused", grid_dtype="bfloat16",
-              resample_neff_frac=1.0)
+              resample_neff_frac=neff_frac)
     cfg_t = gs.GridSlamConfig(**kw, resample_cow="tiled")
     cfg_d = gs.GridSlamConfig(**kw, resample_cow=False,
                               fused_resident=False)
