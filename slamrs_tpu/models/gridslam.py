@@ -226,6 +226,11 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     deferred = False
     tiled = (config.integrate == "fused"
              and config.resample_cow == "tiled")
+    if not tiled and state.tile_table is not None:
+        # a tiled state under a non-tiled config would silently treat
+        # the tile POOL as dense [P, H, W] maps
+        raise ValueError("state has a tile_table but the config is not "
+                         "resample_cow='tiled'")
     new_table = None
     if tiled:
         from slamrs_tpu.ops.tiles import fused_update_tiled
@@ -391,6 +396,10 @@ def update_fleet(state: GridSlamState, scan: Scan,
     (parallel/resample.py) — ``"gather"`` keeps the exact slot-ordered
     take for bitwise reproducibility vs the unsharded fleet.
     """
+    if state.tile_table is not None:
+        raise ValueError("tiled maps (resample_cow='tiled') support "
+                         "unbatched worlds only — fleets would treat "
+                         "the tile pool as dense maps")
     if config.integrate != "fused" or mesh is None:
         if config.integrate == "fused":
             # CoW's copy kernel is per-call (scalar prefetch) — NOT
