@@ -51,17 +51,26 @@ def stds(delta_center: Array, delta_theta: Array):
 
 
 def sample(key: Array, pose: Array, distance_left: Array, distance_right: Array,
-           wheel_base: Array) -> Array:
+           wheel_base: Array, eps: tuple[Array, Array] | None = None) -> Array:
     """Draw a successor pose from the motion model (robot.rs:170-183).
 
     pose: f32[..., 3]; wheel inputs broadcast against pose's batch shape.
+    ``eps`` optionally supplies the two standard-normal draws
+    ``(eps_c, eps_t)`` (each of the broadcast batch shape, exactly the
+    draws this function would make from ``key``) so rollouts can hoist
+    the RNG out of the sequential step chain.
     """
     dc, dt = deltas(distance_left, distance_right, wheel_base)
     c_std, t_std = stds(dc, dt)
     batch = jnp.broadcast_shapes(pose.shape[:-1], jnp.shape(dc))
-    k1, k2 = jax.random.split(key)
-    eps_c = jax.random.normal(k1, batch, pose.dtype)
-    eps_t = jax.random.normal(k2, batch, pose.dtype)
+    if eps is None:
+        k1, k2 = jax.random.split(key)
+        eps_c = jax.random.normal(k1, batch, pose.dtype)
+        eps_t = jax.random.normal(k2, batch, pose.dtype)
+    else:
+        eps_c, eps_t = eps
+        eps_c = jnp.broadcast_to(eps_c, batch).astype(pose.dtype)
+        eps_t = jnp.broadcast_to(eps_t, batch).astype(pose.dtype)
     center = dc + c_std * eps_c
     theta = pose[..., 2] + dt + t_std * eps_t
     x = pose[..., 0] + jnp.cos(theta) * center

@@ -107,17 +107,24 @@ class FusedWorld:
     # ---- one tick ---------------------------------------------------------
 
     def step(self, state: WorldState, cmd: Command, key: Array,
-             force_fire: bool = False) -> tuple[WorldState, WorldOutputs]:
+             force_fire: bool = False,
+             noise=None) -> tuple[WorldState, WorldOutputs]:
         """One dt tick: motion always; scan + SLAM under the fired cond.
 
         ``force_fire`` statically removes the cond (the caller knows the
         scan fires this tick — rollout_cadence / update_period == 0).
         The cond is not free: XLA copies the large SLAM state through the
         untaken branch (~18 us per 42 MB of grids).
+        ``noise`` optionally carries this tick's pre-drawn grid-SLAM
+        randomness (gridslam.UpdateNoise, single-world only) so rollouts
+        hoist the RNG chain out of the scan body — the identical draws.
         """
         from slamrs_tpu.core import motion
 
         batch = state.pose.shape[:-1]
+        if noise is not None and batch:
+            raise ValueError("pre-drawn noise is single-world only (the "
+                             "batched paths draw per-world keys in-step)")
         dt = jnp.float32(self.dt)
         sl = jnp.broadcast_to(cmd.speed_left * dt, batch)
         sr = jnp.broadcast_to(cmd.speed_right * dt, batch)
@@ -169,7 +176,8 @@ class FusedWorld:
                         grid, gout = jax.vmap(upd)(grid, scan, odometry,
                                                    keys)
                 else:
-                    grid, gout = upd(grid, scan, odometry, k_grid)
+                    grid, gout = gs_model.update(grid, scan, odometry,
+                                                 k_grid, gcfg, noise=noise)
                 outs["grid_pose"] = gout.pose
                 outs["n_eff"] = gout.n_eff
 
@@ -266,6 +274,28 @@ class FusedWorld:
             left[i], right[i] = cur_l, cur_r
         return Command(jnp.asarray(left), jnp.asarray(right))
 
+    def _grid_noise(self, keys: Array, state: WorldState):
+        """Bulk pre-draw of per-tick grid-SLAM randomness (RNG hoist).
+
+        One batched threefry over all ticks, outside the sequential scan
+        body, replaces the ~4 chained splits/draws each step would put
+        on its own critical path.  Bitwise identical to the in-step
+        draws (gridslam.derive_noise mirrors update()'s exact chain).
+        Single-world only — fleets draw per-world keys in-step.
+        """
+        if self.grid_config is None or state.pose.ndim != 1:
+            return None
+
+        p = self.grid_config.n_particles
+
+        def one(key):
+            # step() does `k_lm, k_grid = split(key)` and hands k_grid
+            # to gridslam.update
+            k_grid = jax.random.split(key)[1]
+            return gs_model.derive_noise(k_grid, p)
+
+        return jax.vmap(one)(keys)
+
     def rollout(self, state: WorldState, n_steps: int, seed: int = 0,
                 commands: Optional[Command] = None
                 ) -> tuple[WorldState, WorldOutputs]:
@@ -273,13 +303,15 @@ class FusedWorld:
         if commands is None:
             commands = self.commands_for(n_steps)
         keys = jax.random.split(jax.random.key(seed), n_steps)
+        noises = self._grid_noise(keys, state)
 
         def body(carry, inp):
-            cmd_l, cmd_r, key = inp
-            return self.step(carry, Command(cmd_l, cmd_r), key)
+            cmd_l, cmd_r, key, noise = inp
+            return self.step(carry, Command(cmd_l, cmd_r), key, noise=noise)
 
         return jax.lax.scan(body, state,
-                            (commands.speed_left, commands.speed_right, keys))
+                            (commands.speed_left, commands.speed_right, keys,
+                             noises))
 
     def rollout_cadence(self, state: WorldState, n_steps: int, seed: int = 0,
                         commands: Optional[Command] = None,
@@ -351,12 +383,13 @@ class FusedWorld:
         # only the scan ticks consume theirs — so a fixed seed produces
         # identical SLAM randomness through either entry point
         keys = jax.random.split(jax.random.key(seed), n_steps)[fire_idx]
+        noises = self._grid_noise(keys, state)
         wb = self.params.wheel_base
         dtf = jnp.float32(dt)
 
         def frame(carry, inp):
             st: WorldState = carry
-            sl_slab, sr_slab, k_idle, key = inp
+            sl_slab, sr_slab, k_idle, key, noise = inp
 
             def idle_tick(i, small):
                 pose, al, ar = small
@@ -379,13 +412,13 @@ class FusedWorld:
                              scan_timer=jnp.float32(period))
             new_st, outs = self.step(
                 st, Command(sl_slab[kmax], sr_slab[kmax]), key,
-                force_fire=True)
+                force_fire=True, noise=noise)
             return new_st, outs
 
         final, outs = jax.lax.scan(
             frame, state,
             (jnp.asarray(slab_l), jnp.asarray(slab_r),
-             jnp.asarray(idle, jnp.int32), keys))
+             jnp.asarray(idle, jnp.int32), keys, noises))
 
         # trailing idle ticks after the last scan tick
         tail = n_steps - (int(fire_idx[-1]) + 1)

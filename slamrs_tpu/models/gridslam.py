@@ -180,9 +180,45 @@ class GridSlamOutputs(NamedTuple):
     resampled: Array  # bool[...]
 
 
+class UpdateNoise(NamedTuple):
+    """Pre-drawn randomness for one :func:`update` call (RNG hoist).
+
+    Rollouts derive these in BULK outside the ``lax.scan`` (one batched
+    threefry over all frames) instead of chaining ~4 small threefry
+    calls through every step's critical path.  The drawn VALUES are
+    bitwise identical to the in-step draws (see :func:`derive_noise`);
+    downstream floats may differ by FMA-fusion rounding across the two
+    jitted graphs (~1e-9, tested in test_models.py).
+    """
+
+    eps_c: Array  # f32[P] motion center draws (standard normal)
+    eps_t: Array  # f32[P] motion theta draws
+    u01: Array    # f32[1] systematic-resample offset (uniform [0,1))
+
+
+def derive_noise(key: Array, p: int) -> UpdateNoise:
+    """Reproduce :func:`update`'s exact RNG chain for one step key.
+
+    MUST mirror update()'s splits bit-for-bit: ``(k_motion, k_resample)
+    = split(key)``; ``motion.sample`` splits ``k_motion`` into the two
+    normal draws; ``systematic_resample`` draws ``uniform(k_resample,
+    (1,))``.  ``vmap(derive_noise)`` over a rollout's step keys gives
+    each step the identical values it would have drawn itself (jax
+    random functions are deterministic per (key, shape), batched or
+    not), so hoisting is output-neutral up to FMA-fusion rounding of
+    the surrounding arithmetic.
+    """
+    k_motion, k_resample = jax.random.split(key)
+    k1, k2 = jax.random.split(k_motion)
+    eps_c = jax.random.normal(k1, (p,), jnp.float32)
+    eps_t = jax.random.normal(k2, (p,), jnp.float32)
+    u01 = jax.random.uniform(k_resample, (1,), jnp.float32)
+    return UpdateNoise(eps_c, eps_t, u01)
+
+
 def _weigh_and_select(log_lik: Array, log_motion: Array,
                       prev_weights: Array, k_resample: Array,
-                      frac: float, p: int):
+                      frac: float, p: int, u01: Array | None = None):
     """The filter's weighting + selection policy for ONE world (vmap for
     fleets) — the single definition both update() and update_fleet()
     use: SIS weight carry (constant-shift-equivalent to the reference's
@@ -195,7 +231,7 @@ def _weigh_and_select(log_lik: Array, log_motion: Array,
     best_idx = jnp.argmax(weights, axis=-1).astype(jnp.int32)
     n_eff = _resample.effective_particles(weights)
     do_resample = n_eff <= frac * p
-    ancestors = _resample.systematic_resample(k_resample, weights)
+    ancestors = _resample.systematic_resample(k_resample, weights, u01=u01)
     identity = jnp.arange(p, dtype=jnp.int32)
     ancestors = jnp.where(do_resample, ancestors, identity)
     weights = jnp.where(do_resample, jnp.full((p,), 1.0 / p), weights)
@@ -203,23 +239,36 @@ def _weigh_and_select(log_lik: Array, log_motion: Array,
 
 
 def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
-           key: Array, config: GridSlamConfig
+           key: Array, config: GridSlamConfig,
+           noise: UpdateNoise | None = None
            ) -> tuple[GridSlamState, GridSlamOutputs]:
     """One SLAM update for a single world (vmap over worlds for fleets).
 
     scan/odometry: unbatched (shared across the world's particles).
+    ``noise`` optionally supplies this step's pre-drawn randomness
+    (:func:`derive_noise` of the same ``key`` — the identical draws);
+    when given, ``key`` is not consumed, letting rollouts hoist all RNG
+    out of the sequential scan body.
     """
     p = config.n_particles
     spec = config.grid_spec
     max_steps = config.max_ray_steps
 
-    k_motion, k_resample = jax.random.split(key)
+    if noise is None:
+        k_motion, k_resample = jax.random.split(key)
+        eps = None
+        u01 = None
+    else:
+        k_motion = k_resample = key  # unused (eps/u01 provided)
+        eps = (noise.eps_c, noise.eps_t)
+        u01 = noise.u01
 
     # 1) motion sampling (slam.rs:55) — one batched draw covers all
     # particles (motion.sample broadcasts the noise over the pose batch)
     new_poses = motion.sample(k_motion, state.poses,
                               odometry.distance_left,
-                              odometry.distance_right, odometry.wheel_base)
+                              odometry.distance_right, odometry.wheel_base,
+                              eps=eps)
 
     # 2+3) weights log p(z|x,m) + integrate (slam.rs:62, 67).  The fused
     # path does both in one Pallas VMEM pass; the others are separate ops.
@@ -327,7 +376,7 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     # whole-set take behind a cond)
     weights, ancestors, best_idx, n_eff, do_resample = _weigh_and_select(
         log_lik, log_motion, state.weights, k_resample,
-        config.resample_neff_frac, p)
+        config.resample_neff_frac, p, u01=u01)
     best_pose = new_poses[best_idx]
     identity = jnp.arange(p, dtype=jnp.int32)
     use_cow = (config.integrate == "fused" and not deferred and not tiled

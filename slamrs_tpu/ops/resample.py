@@ -32,7 +32,8 @@ def effective_particles(weights: Array, axis: int = -1) -> Array:
     return 1.0 / jnp.sum(weights * weights, axis=axis)
 
 
-def systematic_resample(key: Array, weights: Array) -> Array:
+def systematic_resample(key: Array, weights: Array,
+                        u01: Array | None = None) -> Array:
     """Systematic resampling: ancestor indices, shape/batch = weights.
 
     Parity: ParticleFilter::resample (particle.rs:78-105): u_m = r +
@@ -41,10 +42,16 @@ def systematic_resample(key: Array, weights: Array) -> Array:
     the first c >= u, which is ``searchsorted(..., side='left')``).
 
     weights: f32[..., N] normalized.  Returns i32[..., N].
+    ``u01`` optionally supplies the pre-drawn U[0,1) offset (shape
+    batch + (1,), exactly ``jax.random.uniform(key, batch + (1,))``) so
+    rollouts can hoist the draw out of the sequential step chain; the
+    offset value is identical to drawing from ``key`` here.
     """
     n = weights.shape[-1]
     batch = weights.shape[:-1]
-    r = jax.random.uniform(key, batch + (1,), weights.dtype) / n
+    if u01 is None:
+        u01 = jax.random.uniform(key, batch + (1,), weights.dtype)
+    r = u01 / n
     u = r + jnp.arange(n, dtype=weights.dtype) / n  # [..., N]
     cum = jnp.cumsum(weights, axis=-1)
     # comparison-matrix formulation: ancestor_m = #(cum_i < u_m); identical

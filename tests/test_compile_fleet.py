@@ -281,6 +281,41 @@ def test_rollout_cadence_matches_rollout():
         np.asarray(b.grid.grids, np.float32), atol=1e-3)
 
 
+def test_rollout_noise_hoist_equivalent():
+    """rollout() pre-draws the grid-SLAM randomness outside the scan
+    body (_grid_noise); it must draw the SAME values as scanning step()
+    with the in-step draws (jitted graphs may differ by FMA fusion
+    rounding, hence tolerances on floats; ints exact)."""
+    from slamrs_tpu.core.types import Command
+    from slamrs_tpu.models.gridslam import GridSlamConfig as GSC
+
+    fw = make_fused(grid_config=GSC(resolution=0.1, n_particles=4,
+                                    integrate="fused"),
+                    num_beams=90)
+    s0 = fw.init()
+    n = 20
+    cmds = fw.commands_for(n)
+    keys = jax.random.split(jax.random.key(0), n)
+
+    @jax.jit
+    def inline(state):
+        def body(c, inp):
+            lft, rgt, k = inp
+            return fw.step(c, Command(lft, rgt), k)  # in-step draws
+        return jax.lax.scan(body, state,
+                            (cmds.speed_left, cmds.speed_right, keys))
+
+    a, _ = inline(s0)
+    b, _ = jax.jit(lambda s: fw.rollout(s, n, seed=0, commands=cmds))(s0)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        la, lb = np.asarray(la), np.asarray(lb)
+        if np.issubdtype(la.dtype, np.integer):
+            np.testing.assert_array_equal(la, lb)
+        else:
+            np.testing.assert_allclose(la.astype(np.float32),
+                                       lb.astype(np.float32), atol=1e-5)
+
+
 def test_fleet_fused_sharded_local_resample_multiset():
     """The DEFAULT mesh resampling ("local", parallel/resample.py) must
     produce the same per-world particle MULTISET as the exact gather

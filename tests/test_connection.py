@@ -47,7 +47,9 @@ def test_handshake_and_scan_stream():
     received = []
     link = RobotLink(medium, lambda d, o, r: received.append((d[0], o, r)))
 
-    deadline = time.time() + 5.0
+    # generous deadline: under a full-suite run the reader thread
+    # competes with XLA compile threads for the GIL and 5 s flaked
+    deadline = time.time() + 60.0
     while len(received) < 3 and time.time() < deadline:
         time.sleep(0.01)
     link.close()

@@ -45,6 +45,49 @@ def rollout(n_ticks, slam_update, init_ops, seed=0, update_period=0.2):
     return np.asarray(poses)[f], np.asarray(ests)[f]
 
 
+@pytest.mark.parametrize("integrate", ["dda", "fused"])
+def test_update_noise_hoist_equivalent(integrate):
+    """update(key, noise=derive_noise(key)) must draw the SAME random
+    values as update(key): the RNG-hoisted rollout path
+    (compile.FusedWorld._grid_noise) relies on derive_noise mirroring
+    update()'s chain.  Unjitted the results are bitwise equal; under jit
+    the two graphs may fuse FMAs differently, so floats get a 1e-6
+    tolerance while the resample decision (integers) must match exactly.
+    """
+    cfg = GS.GridSlamConfig(resolution=0.1, n_particles=8,
+                            integrate=integrate)
+    st0 = GS.GridSlamState.init(cfg)
+    scene = make_scene()
+    params = S.SimParams.make(update_period=0.0)
+    sim = S.SimState.init()
+    _, out = jax.jit(lambda s, k: S.tick(s, Command.make(0.05, 0.08), k,
+                                         params, scene))(
+        sim, jax.random.key(0))
+    key = jax.random.key(42)
+    noise = GS.derive_noise(key, cfg.n_particles)
+    # unjitted: identical computation graph -> bitwise equal
+    a_st, a_out = GS.update(st0, out.scan, out.odometry, key, cfg)
+    b_st, b_out = GS.update(st0, out.scan, out.odometry, key, cfg,
+                            noise=noise)
+    for a, b in zip(jax.tree.leaves(a_st), jax.tree.leaves(b_st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # jitted: same values, fusion-tolerant comparison
+    upd = jax.jit(lambda s, noise: GS.update(s, out.scan, out.odometry, key,
+                                             cfg, noise=noise))
+    a_st, a_out = upd(st0, None)
+    b_st, b_out = upd(st0, noise)
+    np.testing.assert_array_equal(np.asarray(a_st.ancestors),
+                                  np.asarray(b_st.ancestors))
+    np.testing.assert_array_equal(np.asarray(a_st.best_idx),
+                                  np.asarray(b_st.best_idx))
+    np.testing.assert_allclose(np.asarray(a_st.poses),
+                               np.asarray(b_st.poses), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_st.weights),
+                               np.asarray(b_st.weights), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_out.pose),
+                               np.asarray(b_out.pose), atol=1e-6)
+
+
 @pytest.mark.parametrize("integrate", ["dda", "dense"])
 def test_gridslam_tracks(integrate):
     cfg = GS.GridSlamConfig(resolution=0.05, n_particles=8,
