@@ -1025,8 +1025,16 @@ def shared_window_plan(spos: Array, r0: Array, u0: Array, nw: int):
     filler of each group is its LOWEST particle index (stable argsort),
     so grid programs — which run in particle order — always fill a slot
     before any sharer reads it.  In-place particles (``spos < 0``) own
-    unique maps and never share; groups past ``nw`` fall back to the
-    private path (correct, just uncached).
+    unique maps and never share.
+
+    Cache slots go to the LARGEST groups first (deterministic
+    size-descending order, group key as tie-break): singleton groups
+    gain nothing from a slot (their one particle fills and reads it —
+    exactly the private path through the reserved per-buffer slots), so
+    they never take one, and when the lineage spreads past ``nw``
+    multi-particle groups (p90 frames at 0.02 m run ~100 unique
+    ancestors, tail ~300) the spilled work is the smallest groups'
+    (measured: first-come assignment cost ~8% e2e on tail frames).
     """
     p = spos.shape[0]
     idx = jnp.arange(p, dtype=jnp.int32)
@@ -1036,7 +1044,18 @@ def shared_window_plan(spos: Array, r0: Array, u0: Array, nw: int):
     ks = key[order]
     first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
     gid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    slot_sorted = jnp.where((ks < 2**30) & (gid < nw), gid, -1)
+    sizes = jnp.zeros((p,), jnp.int32).at[gid].add(1)
+    shareable = jnp.zeros((p,), bool).at[gid].set(ks < 2**30)
+    eligible = shareable & (sizes >= 2)
+    # rank groups: eligible first, size descending, gid as tie-break
+    # (p * (p + 2) fits i32 comfortably at production particle counts)
+    grank = jnp.argsort(jnp.where(eligible, -sizes * (p + 1), p * (p + 2))
+                        + jnp.arange(p, dtype=jnp.int32), stable=True)
+    slot_of_group = jnp.zeros((p,), jnp.int32).at[grank].set(
+        jnp.arange(p, dtype=jnp.int32))
+    slot_of_group = jnp.where(eligible & (slot_of_group < nw),
+                              slot_of_group, -1)
+    slot_sorted = slot_of_group[gid]
     fill_sorted = (first | (slot_sorted < 0)).astype(jnp.int32)
     wsel = jnp.zeros((p,), jnp.int32).at[order].set(slot_sorted)
     wfill = jnp.zeros((p,), jnp.int32).at[order].set(fill_sorted)

@@ -255,22 +255,33 @@ def test_pack2_packed_lik_matches_unpacked_bf16():
 def test_shared_window_plan_groups_fillers_overflow():
     """shared_window_plan invariants: equal (stage slot, r0/8, u0/8)
     keys share a slot with exactly the LOWEST particle index filling;
-    in-place particles (spos < 0) are private; groups past ``nw``
-    fall back to private (fill=1, slot=-1)."""
+    in-place particles (spos < 0) are private; cache slots go to the
+    LARGEST groups first and singleton groups never take one (their
+    private path through the reserved per-buffer slots is identical
+    work)."""
     spos = jnp.array([0, 0, 0, -1, 1, 1, 2, -1], jnp.int32)
     r0 = jnp.array([8, 8, 16, 8, 8, 8, 8, 8], jnp.int32)
     u0 = jnp.array([8, 8, 8, 8, 24, 24, 8, 8], jnp.int32)
     wsel, wfill = map(np.asarray, shared_window_plan(spos, r0, u0, 8))
     assert list(wfill) == [1, 0, 1, 1, 1, 0, 1, 1]
     assert wsel[0] == wsel[1] >= 0 and wsel[4] == wsel[5] >= 0
-    assert wsel[2] >= 0 and wsel[6] >= 0
+    assert wsel[0] != wsel[4]
+    # singletons (split-group particle 2, lone-segment particle 6) and
+    # in-place particles (3, 7) are private
+    assert wsel[2] == wsel[6] == -1
     assert wsel[3] == -1 and wsel[7] == -1  # in-place: never cached
-    assert len({wsel[0], wsel[2], wsel[4], wsel[6]}) == 4
-    # nw=2: the two lowest-key groups keep slots, the rest overflow
-    wsel2, wfill2 = map(np.asarray, shared_window_plan(spos, r0, u0, 2))
-    assert wsel2[0] == wsel2[1] >= 0 and wsel2[2] >= 0
-    assert wsel2[4] == wsel2[5] == wsel2[6] == -1
-    assert list(wfill2) == [1, 0, 1, 1, 1, 1, 1, 1]
+    # nw=1: only the first size-2 group keeps a slot; everyone else
+    # fills privately
+    wsel1, wfill1 = map(np.asarray, shared_window_plan(spos, r0, u0, 1))
+    assert wsel1[0] == wsel1[1] == 0
+    assert wsel1[4] == wsel1[5] == -1
+    assert list(wfill1) == [1, 0, 1, 1, 1, 1, 1, 1]
+    # a bigger group posted LATER in particle order wins the slot
+    spos3 = jnp.array([0, 0, 1, 1, 1, -1, -1, -1], jnp.int32)
+    flat = jnp.full((8,), 8, jnp.int32)
+    wsel3, _ = map(np.asarray, shared_window_plan(spos3, flat, flat, 1))
+    assert wsel3[2] == wsel3[3] == wsel3[4] == 0
+    assert wsel3[0] == wsel3[1] == -1
 
 
 def test_hbm_staged_sharewin_bitwise_vs_gather():
