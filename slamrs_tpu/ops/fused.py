@@ -70,6 +70,8 @@ from __future__ import annotations
 
 import functools
 import math as pymath
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -81,6 +83,18 @@ from slamrs_tpu.ops.grid import (ADDITIONAL_STEPS, GridSpec2D, L_FREE,
                                  Z_HIT)
 
 Array = jnp.ndarray
+
+# kernel-phase ablation for profiling (benchmarks/prof_r4.py): frozen at
+# import like gridslam's SLAMRS_STUB_* hooks, and LOUD — any value makes
+# the kernel compute garbage by design.  Values: "nolik" (skip the
+# endpoint-likelihood gathers+index math), "nocell" (skip the ISM cell
+# pass), "noatan" (cell pass with the atan2 replaced by a mul),
+# "nogather" (cell pass with the beam-table gather replaced by
+# register math), "nodens" (skip the multiplicity compensation).
+_ABLATE = os.environ.get("SLAMRS_FUSED_ABLATE", "")
+if _ABLATE:
+    print(f"WARNING: SLAMRS_FUSED_ABLATE={_ABLATE} active — fused "
+          "kernel output is fabricated (profiling only)", file=sys.stderr)
 
 _BEAM_PAD = 512  # beam table lanes (360 -> 3 gather chunks of 128 + pad)
 
@@ -410,6 +424,11 @@ def _lik_idx_batched(pv_ref, table_ref, xi_s, yi_s, use_s, i0, *, ppb,
     (cx, cy, cos/sin theta, r0, ceff — the window's effective column
     origin of the COMPUTE view, i.e. DMA offset + crop128 roll).
     Writes xi/yi/use scratch rows [ppb, 128*n_chunks]."""
+    if _ABLATE == "nolik":  # profiling only
+        xi_s[...] = jnp.zeros_like(xi_s)
+        yi_s[...] = jnp.zeros_like(yi_s)
+        use_s[...] = jnp.zeros_like(use_s)
+        return
     blk = pv_ref[pl.ds(i0, ppb), :]
     cx = blk[:, 0:1]
     cy = blk[:, 1:2]
@@ -441,6 +460,9 @@ def _lik_gather_fold(w32, xi_s, yi_s, odds_s, k, *, wr, cw, num_beams):
     """Batched likelihood phase B (per particle): endpoint odds via
     column gather + fold row select on the PRE-update window, written
     to this particle's ``odds_s`` row."""
+    if _ABLATE == "nolik":  # profiling only
+        odds_s[k:k + 1, :] = jnp.zeros_like(odds_s[k:k + 1, :])
+        return
     n_chunks = -(-num_beams // 128)
     for bc in range(n_chunks):
         sl = slice(bc * 128, (bc + 1) * 128)
@@ -472,6 +494,9 @@ def _lik_gather_fold_packed(pairs128, xi_s, yi_s, odds_s, k, *, wrp,
     NaN-payload hazards a bitcast-to-f32 sum would have.  Output is
     bitwise identical to :func:`_lik_gather_fold` on the unpacked
     window."""
+    if _ABLATE == "nolik":  # profiling only
+        odds_s[k:k + 1, :] = jnp.zeros_like(odds_s[k:k + 1, :])
+        return
     n_chunks = -(-num_beams // 128)
     for bc in range(n_chunks):
         sl = slice(bc * 128, (bc + 1) * 128)
@@ -515,6 +540,11 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     cx, cy, _theta, ta, _ct, _st, dphi, inv_dphi = params
     two_pi = 2.0 * pymath.pi
 
+    if _ABLATE == "nocell":  # profiling only
+        if return_inc:
+            return jnp.zeros((wr, cols), jnp.float32) + cx
+        return w32 + cx
+
     wy = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 0).astype(
         jnp.float32) + r0.astype(jnp.float32)
     wx = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 1).astype(
@@ -525,7 +555,7 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     dy = wy + 0.5 - cy
     r2 = dx * dx + dy * dy
 
-    phi = _atan2(dy, dx)
+    phi = dy * 0.001 if _ABLATE == "noatan" else _atan2(dy, dx)
     # angular bin honoring the scan's true spacing, wrapped in ANGLE
     # space (one full circle).  ``ta`` is theta + angles0 pre-folded.
     # One select maps cells within half a bin of closing the circle to
@@ -542,7 +572,11 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     # 0.02 m config — in-register decode is far cheaper than another
     # chunked gather.  The compares run in SQUARED space (A/B derived
     # from the gathered d per cell) so the per-cell sqrt disappears.
-    if qu is not None:
+    if _ABLATE == "nogather":  # profiling only
+        d = jnp.maximum(bins_f * 0.01, 1.0)
+        was_hit = d > 1.5
+        present = d > 0.5
+    elif qu is not None:
         # packed single-chunk gather (d snapped to the static quantum —
         # the documented fused-path quantization, module docstring)
         d, was_hit, present = _gather_beam_pack3(table_ref, bins_f, wr,
@@ -561,7 +595,9 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     inc = jnp.where(r2 < a_sq, L_FREE,
                     jnp.where(r2 <= b_sq, L_OCCUPIED, 0.0))
     # multiplicity compensation: beams-per-cell density near the robot
-    dens = jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2, 0.25)) * inv_dphi)
+    dens = (jnp.float32(1.0) if _ABLATE == "nodens" else
+            jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2, 0.25))
+                        * inv_dphi))
     in_bounds = (wy < float(logical_rows)) & (wx < float(logical_cols))
     inc = jnp.where(present & in_bounds, inc * dens, 0.0)
 
