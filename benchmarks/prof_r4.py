@@ -16,7 +16,8 @@ Usage:
 Points: 002 = 0.02 m staged-lineage HBM kernel, 1,024 particles,
 concentrated lineage (the 10k-ticks/s target's kernel); 005 = 0.05 m
 resident pack2 kernel (the scan-every-tick target's kernel); 003t =
-config-3 tiled kernel (50 m @ 0.05 m tile pool).
+config-3 tiled kernel (50 m @ 0.05 m tile pool); 002k = 0.02 m k-span
+cached TILED kernel (same operating point as 002, tile-pool maps).
 
 Timing is value-fetch marginal between two chained-update scan lengths
 (the tunnel's block_until_ready does not block), median of 5 reps.
@@ -29,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-POINTS = ("002", "005", "003t")
+POINTS = ("002", "005", "003t", "002k")
 ABLATIONS = ("none", "nolik", "nocell", "noatan", "nogather", "nodens")
 
 
@@ -42,7 +43,7 @@ def run_point(point: str) -> None:
     p = 1024
     nb = 360
     maxr = 1.0
-    if point == "002":
+    if point in ("002", "002k"):
         spec = GridSpec2D(-2.0, -2.0, 4.0, 4.0, 0.02)
         resident = False
     elif point == "005":
@@ -72,7 +73,7 @@ def run_point(point: str) -> None:
     src = jnp.linspace(0, p - 1, 11).astype(jnp.int32)
     anc = jnp.sort(src[jnp.arange(p) % 11])
 
-    if point == "003t":
+    if point in ("003t", "002k"):
         from slamrs_tpu.ops.tiles import fused_update_tiled, init_tiled
 
         pool, table = init_tiled(p, spec, maxr, dtype=jnp.bfloat16)
@@ -82,11 +83,11 @@ def run_point(point: str) -> None:
             def run(state, _key):
                 def body(c, _):
                     pool, table = c
+                    # pending lineage applied in-call (the tiled
+                    # resample's relabel + the kernel's window groups)
                     pool, table, lik = fused_update_tiled(
                         pool, table, poses, angles0, dist, valid,
-                        present, spec, nb, maxr)
-                    # relabel like gridslam.update does on resample
-                    table = jnp.take(table, anc, axis=0)
+                        present, spec, nb, maxr, ancestors=anc)
                     return (pool, table), jnp.sum(lik)
                 c, liks = jax.lax.scan(body, state, None, length=n)
                 return (jnp.float32(c[0][1, 0, 0]) + jnp.sum(liks))

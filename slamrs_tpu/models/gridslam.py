@@ -287,11 +287,16 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         nb_beams = scan.angles.shape[-1]
         dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb_beams > 1
                 else jnp.float32(2.0 * jnp.pi))
+        # PENDING lineage (like the deferred dense path): the band-table
+        # relabel — the tiled resample's only data movement — happens
+        # inside the call, and the kernel's shared-window groups key on
+        # the ancestors directly (no content sort)
         grids, new_table, log_lik = fused_update_tiled(
             state.grids, state.tile_table, new_poses, scan.angles[..., 0],
             scan.distances, scan.valid, scan.present, spec, nb_beams,
             config.max_scan_range, dphi=dphi,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            ancestors=state.ancestors)
     elif config.integrate == "fused":
         from slamrs_tpu.ops.fused import (fits_vmem_resident, fused_update,
                                           supports_deferred_hbm)
@@ -384,12 +389,13 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
                     if config.resample_cow is not None else True))
     if tiled:
         # tile-pool maps: the resample is a band-TABLE relabel — zero
-        # map bytes move (identity ancestors on N_eff skip make this a
-        # no-op gather); privatization happens copy-on-write inside the
-        # NEXT update's kernel (ops/tiles.py)
+        # map bytes move — applied PENDING inside the NEXT update's call
+        # (identity ancestors on N_eff skip make it a no-op gather);
+        # privatization happens copy-on-write inside the kernel
+        # (ops/tiles.py).  Consumers index the table through the pending
+        # lineage (estimated_probability_grid).
         new_poses = jnp.take(new_poses, ancestors, axis=0)
-        new_table = jnp.take(new_table, ancestors, axis=0)
-        pending = identity
+        pending = ancestors
     elif deferred:
         new_poses = jnp.take(new_poses, ancestors, axis=0)
         pending = ancestors  # grids gathered inside the NEXT kernel call
@@ -524,7 +530,10 @@ def estimated_probability_grid(state: GridSlamState,
     if state.tile_table is not None:  # tiled pool: gather ONE map's tiles
         from slamrs_tpu.ops.tiles import materialize_one
 
-        grid = materialize_one(state.grids, state.tile_table[state.best_idx])
+        # the tile table carries a PENDING lineage: slot i's row is
+        # tile_table[ancestors[i]] until the next update applies it
+        row = state.tile_table[state.ancestors[state.best_idx]]
+        grid = materialize_one(state.grids, row)
     elif state.grids.ndim > 3:  # [..., P, H, W] batched worlds
         idx = state.best_idx[..., None, None, None]
         grid = jnp.take_along_axis(

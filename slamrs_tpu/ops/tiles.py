@@ -63,9 +63,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from slamrs_tpu.ops.fused import (_lik_finish_batched, _lik_prepare,
-                                  _window_compute, encode_beam_table,
-                                  pack3_quantum, window_rows)
+from slamrs_tpu.ops.fused import (_SHAREWIN_SLOTS, _cell_pass,
+                                  _lik_finish_batched,
+                                  _lik_gather_fold_packed, _lik_prepare,
+                                  _params, _window_compute,
+                                  encode_beam_table, pack3_quantum,
+                                  shared_window_plan, window_rows)
 from slamrs_tpu.ops.grid import ADDITIONAL_STEPS, GridSpec2D
 
 Array = jnp.ndarray
@@ -80,11 +83,66 @@ def tile_geometry(spec: GridSpec2D, max_range_m: float,
     a 2-band span (needs ``wr <= band_rows + 1``)."""
     wr = window_rows(spec, max_range_m)
     hb = band_rows if band_rows is not None else wr
-    assert hb % 8 == 0 and wr <= hb + 1, (wr, hb)
-    nb = -(-spec.rows // hb)
-    nb = max(nb, 2)  # the window always spans 2 bands
+    assert hb % 8 == 0, hb
+    if wr <= hb + 1:
+        nb = -(-spec.rows // hb)
+        nb = max(nb, 2)  # the window always spans 2 bands
+    else:
+        # bands narrower than the window: the k-span cached kernel
+        # (:func:`_kernel_tiled_cached`) serves this geometry
+        _wr16, _kspan, nb = span_geometry(spec, max_range_m, hb)
     cols = (spec.cols + 127) // 128 * 128
     return hb, nb, cols
+
+
+def span_geometry(spec: GridSpec2D, max_range_m: float,
+                  hb: int) -> tuple[int, int, int]:
+    """(wr, kspan, nb) for the k-band cached kernel.
+
+    The window is the DENSE kernel's (8-divisible rows, 8-aligned
+    origin — its +8 slack is exactly TIGHT against the scan disc under
+    floor8), computed as a [wr, wc] view at in-span offset ``woff``
+    inside the ``kspan``-band span.  (A band-ALIGNED variant — origin
+    t0*hb, compute on the whole kspan*hb span, static stores, sharers
+    skipping every in-DMA — measured 866 vs 730 us/update at 0.02 m:
+    this kernel is COMPUTE-bound, so the 1.4x cell/gather/roll row
+    scaling costs more than the static addressing and skipped DMAs
+    save.)"""
+    assert hb % 8 == 0, hb
+    wr = window_rows(spec, max_range_m)
+    assert wr <= spec.rows, (wr, spec.rows)
+    kspan = -(-(hb - 8 + wr) // hb)  # max woff = hb - 8
+    nb = -(-spec.rows // hb)
+    # windows clip into band padding (rows_pad - wr like the 2-band
+    # kernel; padded rows are masked) — grow nb until the span fits
+    while ((nb * hb - wr) // 8 * 8) // hb + kspan > nb:
+        nb += 1
+    return wr, kspan, nb
+
+
+def auto_band_rows(spec: GridSpec2D, max_range_m: float,
+                   dtype=jnp.bfloat16) -> int | None:
+    """Band height for the k-span cached kernel when that geometry pays,
+    else None (keep the wr-band 2-span default).
+
+    The 2-band span privatizes ``2*wr`` rows per written particle; when
+    that exceeds the whole map (windows covering most rows — the
+    0.02 m-class geometry) AND the cached kernel's requirements hold
+    (full-width window, crop128-able disc, bf16 tiles), half-window
+    bands win: only the ~wr written rows move, out-of-window bands stay
+    shared forever."""
+    wr = window_rows(spec, max_range_m)
+    if 2 * wr <= spec.rows or dtype != jnp.bfloat16:
+        return None
+    cols = (spec.cols + 127) // 128 * 128
+    disc_half = (int(pymath.ceil(max_range_m / spec.resolution))
+                 + ADDITIONAL_STEPS + 1)
+    wc = cols if (cols <= 256 or disc_half > 64) else 256
+    crop128 = wc >= 256 and 2 * disc_half + 1 + 8 <= 128
+    if wc != cols or not crop128:
+        return None
+    hb = max(16, (wr // 2) // 8 * 8)
+    return hb if wr > hb + 1 else None
 
 
 def init_tiled(p: int, spec: GridSpec2D, max_range_m: float,
@@ -92,9 +150,13 @@ def init_tiled(p: int, spec: GridSpec2D, max_range_m: float,
                n_phys: int | None = None) -> tuple[Array, Array]:
     """Fresh (pool, table): every band of every particle references the
     single all-zero tile 0 (log-odds prior = 0 everywhere, map.rs:56)."""
+    if band_rows is None:
+        band_rows = auto_band_rows(spec, max_range_m, dtype)
     hb, nb, cols = tile_geometry(spec, max_range_m, band_rows)
+    wr = window_rows(spec, max_range_m)
+    kspan = 2 if wr <= hb + 1 else span_geometry(spec, max_range_m, hb)[1]
     if n_phys is None:
-        n_phys = p * nb + 2 * p
+        n_phys = p * nb + kspan * p
     pool = jnp.zeros((n_phys, hb, cols), dtype)
     table = jnp.zeros((p, nb), jnp.int32)
     return pool, table
@@ -120,34 +182,62 @@ def materialize_one(pool: Array, row: Array) -> Array:
     return maps.reshape(nb * hb, w)
 
 
-def tiled_plan(table: Array, t0: Array, n_phys: int):
+def tiled_plan(table: Array, t0: Array, n_phys: int, kspan: int = 2):
     """Copy-on-write plan for one update: which pool tile each particle
-    reads and writes for its two touched bands.
+    reads and writes for its ``kspan`` touched bands.
 
     table: i32[P, nb] current band table.  t0: i32[P] first touched band
-    (window spans t0, t0+1; caller clamps t0 <= nb-2).
-    Returns (src i32[P,2], dst i32[P,2], new_table i32[P,nb]).
+    (window spans t0 .. t0+kspan-1; caller clamps t0 <= nb-kspan).
+    Returns (src i32[P,kspan], dst i32[P,kspan], new_table i32[P,nb]).
     ``dst == src`` where the tile is exclusively owned (in-place write);
-    fresh tiles otherwise.  Requires ``n_phys >= live + 2P`` — guaranteed
-    by the ``P*nb + 2P`` sizing since live <= P*nb."""
+    fresh tiles otherwise.  Requires ``n_phys >= live + kspan*P`` —
+    guaranteed by the ``P*nb + kspan*P`` sizing since live <= P*nb."""
     p, nb = table.shape
     # static trace-time guarantee: the free list can always satisfy the
-    # worst case (everything shared, every particle requesting 2 fresh
-    # tiles).  Without it, an undersized pool would silently hand out
-    # tile 0 (jnp.nonzero's fill_value) as a "fresh" destination and
+    # worst case (everything shared, every particle requesting kspan
+    # fresh tiles).  Without it, an undersized pool would silently hand
+    # out tile 0 (jnp.nonzero's fill_value) as a "fresh" destination and
     # corrupt live maps.
-    assert n_phys >= p * nb + 2 * p, (n_phys, p, nb)
-    rows = jnp.arange(p, dtype=jnp.int32)
-    bidx = jnp.stack([t0, t0 + 1], axis=-1)  # [P, 2]
-    src = jnp.take_along_axis(table, bidx, axis=1)  # [P, 2]
+    assert n_phys >= p * nb + kspan * p, (n_phys, p, nb, kspan)
+    bidx = t0[:, None] + jnp.arange(kspan, dtype=jnp.int32)[None, :]
+    src = jnp.take_along_axis(table, bidx, axis=1)  # [P, kspan]
     rc = jnp.zeros((n_phys,), jnp.int32).at[table.reshape(-1)].add(1)
     fresh = rc[src] != 1  # shared (or self-shared zero tile): allocate
     rank = jnp.cumsum(fresh.reshape(-1).astype(jnp.int32)) - 1
-    free_idx = jnp.nonzero(rc == 0, size=2 * p, fill_value=0)[0]
-    free_idx = free_idx.astype(jnp.int32)
-    dst = jnp.where(fresh, free_idx[rank.reshape(p, 2)], src)
-    new_table = table.at[rows[:, None], bidx].set(dst)
+    # ascending free list via cumsum+scatter (jnp.nonzero lowers to a
+    # longer chain of small serial ops — on this chip per-op latency,
+    # not op width, is what the plan pays for)
+    fmask = rc == 0
+    fpos = jnp.cumsum(fmask.astype(jnp.int32)) - 1
+    free_idx = jnp.zeros((kspan * p,), jnp.int32).at[
+        jnp.where(fmask, fpos, kspan * p)].set(
+        jnp.arange(n_phys, dtype=jnp.int32), mode="drop")
+    dst = jnp.where(fresh, free_idx[rank.reshape(p, kspan)], src)
+    # masked select instead of a 2D scatter (elementwise fuses)
+    off = jnp.arange(nb, dtype=jnp.int32)[None, :] - t0[:, None]
+    dstb = jnp.take_along_axis(dst, jnp.clip(off, 0, kspan - 1), axis=1)
+    new_table = jnp.where((off >= 0) & (off < kspan), dstb, table)
     return src, dst, new_table
+
+
+def _window_groups(src: Array, r0: Array, u0: Array) -> Array:
+    """i32[P] group ids for the shared-window cache: particles whose
+    pre-update window is the SAME BYTES — identical source tiles for
+    every spanned band (offspring of one ancestor share table rows
+    verbatim after the resample relabel), same window row origin, same
+    quantized lane roll.  Exclusive tiles appear in exactly one table
+    row, so un-resampled particles form singleton groups and never
+    share (same effect as the staged kernel's ``spos < 0`` exclusion)."""
+    p, ks = src.shape
+    mat = jnp.concatenate([src, r0[:, None], u0[:, None]],
+                          axis=1).astype(jnp.int32)
+    # lexsort: last key is primary; any total order groups equal rows
+    order = jnp.lexsort(tuple(mat[:, c] for c in range(ks + 1, -1, -1)))
+    ms = mat[order]
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             jnp.any(ms[1:] != ms[:-1], axis=1)])
+    gid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    return jnp.zeros((p,), jnp.int32).at[order].set(gid_sorted)
 
 
 def _kernel_tiled(src0_ref, src1_ref, dst0_ref, dst1_ref, off_ref,
@@ -252,20 +342,201 @@ def _kernel_tiled(src0_ref, src1_ref, dst0_ref, dst1_ref, off_ref,
                 out_copy(j, slot, k, half).wait()
 
 
+def _cached_body_span(w_out, i, kk, r0, woff, uoff_ref, pp_ref, table_ref,
+                      lik_ref, wcache, cslot, fill, *, wr, num_beams,
+                      logical_rows, logical_cols, lik_scratch, qu):
+    """Shared-window-cache compute on a k-band [ktot, wc] VMEM window
+    whose [wr, wc] view starts at in-window row ``woff`` (8-aligned).
+
+    Fillers (lowest particle index of a group, ``fill == 1``) bitcast
+    their just-DMA'd [wr, wc] view (an 8-aligned bf16 ref slice) to i32
+    sublane pairs and land the pre-rolled form in ``wcache[cslot]`` —
+    one roll for the whole group.  Sharers skipped the MIDDLE band DMAs
+    and the roll; their edge bands were DMA'd (out-of-view rows of the
+    out-copies need the source bytes) and their middle bands — always
+    fully inside the view, see :func:`_kernel_tiled_cached` — are
+    covered by the view write-back.  (A first draft instead
+    reconstructed the sharer's whole window from the cache with a
+    roll(+u0): one full-window roll+store per sharer measured ~+500
+    us/update at 1,024 particles — two hidden edge DMAs are far cheaper
+    than any per-sharer whole-window ALU.)  Both then compute on the
+    pair-space view slice and write the updated [wr, wc] view back.
+    Same arithmetic as :func:`slamrs_tpu.ops.fused._cached_body`,
+    bitwise."""
+    u0 = uoff_ref[i]
+
+    @pl.when(fill == 1)
+    def _():
+        # cache ONLY the [wr, wc] view (not the whole k-band window):
+        # the 8-aligned bf16 ref slice keeps the pair bitcast legal,
+        # and the cache read below stays a static whole-slot load
+        pairs = pltpu.bitcast(w_out[pl.ds(woff, wr), :], jnp.int32)
+        wcache[cslot] = pltpu.roll(pairs, -u0, 1)
+
+    viewp = wcache[cslot]  # [wr//2, wc] i32 pre-rolled pairs
+    w32 = pltpu.bitcast(viewp[:, :128], jnp.bfloat16).astype(jnp.float32)
+    xi_s, yi_s, _use_s, odds_s = lik_scratch
+    _lik_gather_fold_packed(viewp[:, :128], xi_s, yi_s, odds_s, kk,
+                            wrp=wr // 2, num_beams=num_beams)
+    params = _params(pp_ref, i)
+    out = _cell_pass(w32, params, table_ref, wr=wr, cols=128,
+                     num_beams=num_beams, r0=r0,
+                     logical_rows=logical_rows, logical_cols=logical_cols,
+                     c0=u0, qu=qu)
+    out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
+    w_out[pl.ds(woff, wr), :] = pltpu.bitcast(
+        pltpu.roll(jnp.concatenate([out_p, viewp[:, 128:]], axis=1),
+                   u0, 1), jnp.bfloat16)
+
+
+def _kernel_tiled_cached(*refs, wr, hb, kspan, wc, num_beams,
+                         logical_rows, logical_cols, ppb, qu, nw):
+    """K-band-span tiled kernel with the shared-window cache — the
+    0.02 m-class formulation (full-width maps whose window covers most
+    map rows, bands much narrower than the window).
+
+    vs :func:`slamrs_tpu.ops.fused._kernel_hbm_staged`: the staged
+    kernel materializes every offspring's FULL map each resampled frame
+    — its out-of-window static band copies are the dominant HBM traffic
+    (~168 MB/update at 0.02 m, a ~415 us DMA floor;
+    benchmarks/prof_r4.py).  Here out-of-window bands are never touched
+    at all (the resample relabeled the band table; they stay shared),
+    every byte written passes through VMEM exactly once (full-width
+    tiles: no HBM-to-HBM copies), and the shared-window cache dedups
+    the window reads + rolls across same-ancestor offspring exactly as
+    in the staged kernel.  MEASURED OUTCOME (benchmarks/README.md): the
+    traffic cut does NOT pay at 0.02 m — 730 vs the staged kernel's
+    546 us/update — because the staged kernel hides its compute under
+    the DMA floor while this kernel's compute is fully exposed, and the
+    exposed compute (cell pass + gathers + rolls) exceeds the staged
+    kernel's total.  Kept opt-in (``resample_cow="tiled"``) for
+    memory-bound geometries.
+
+    Per particle: ``kspan`` band-slice DMAs in (middle bands fillers
+    only), the cached pack2 compute on the [wr, wc] view at in-window
+    offset ``woff``, ``kspan`` band-slice DMAs out (every particle —
+    its dst tiles are fresh or exclusively owned, see the module's
+    write-hazard argument).  Double-buffered at program granularity
+    like the other HBM kernels."""
+    srcs = refs[:kspan]
+    dsts = refs[kspan:2 * kspan]
+    (off_ref, woff_ref, uoff_ref, wsel_ref, wfill_ref,
+     pp_ref, pv_ref, table_ref, pool_in, lik_ref, pool_out,
+     win, sem_in, sem_out, xi_s, yi_s, use_s, odds_s,
+     wcache) = refs[2 * kspan:]
+    j = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = j % 2
+
+    def in_copy(jj, s, kk, half):
+        i = jj * ppb + kk
+        return pltpu.make_async_copy(
+            pool_in.at[srcs[half][i]],
+            win.at[s, kk, pl.ds(half * hb, hb)], sem_in.at[s, kk, half])
+
+    def out_copy(jj, s, kk, half):
+        i = jj * ppb + kk
+        return pltpu.make_async_copy(
+            win.at[s, kk, pl.ds(half * hb, hb)],
+            pool_out.at[dsts[half][i]], sem_out.at[s, kk, half])
+
+    def start_in(jj, s, kk):
+        i = jj * ppb + kk
+
+        @pl.when(wfill_ref[i] == 1)
+        def _():
+            for half in range(1, kspan - 1):
+                in_copy(jj, s, kk, half).start()
+
+        # edge bands always DMA (sharers too): their out-of-view rows
+        # must reach the out-copies.  Middle bands are always fully
+        # inside the view (kspan <= wr/hb + 1 by construction, so bands
+        # 1..kspan-2 lie in [hb, (kspan-1)*hb) <= [woff, woff+wr)) —
+        # sharers get them from the view write-back and skip the DMA.
+        in_copy(jj, s, kk, 0).start()
+        in_copy(jj, s, kk, kspan - 1).start()
+
+    @pl.when(j == 0)
+    def _():
+        for kk in range(ppb):
+            start_in(0, 0, kk)
+
+    # slot (j+1)%2's window buffers were written back by program j-1;
+    # those out-DMAs must land before the next in-DMAs (or the sharers'
+    # in-register write-backs) overwrite them
+    @pl.when(j >= 1)
+    def _():
+        for kk in range(ppb):
+            for half in range(kspan):
+                out_copy(j - 1, (j - 1) % 2, kk, half).wait()
+
+    @pl.when(j + 1 < n)
+    def _():
+        for kk in range(ppb):
+            start_in(j + 1, (j + 1) % 2, kk)
+
+    scr = (xi_s, yi_s, use_s, odds_s)
+    scr = _lik_prepare(pv_ref, table_ref, scr, j, ppb=ppb, wr=wr, wc=wc,
+                       crop128=True, num_beams=num_beams,
+                       logical_rows=logical_rows, logical_cols=logical_cols)
+
+    for kk in range(ppb):
+        i = j * ppb + kk
+
+        @pl.when(wfill_ref[i] == 1)
+        def _():
+            for half in range(1, kspan - 1):
+                in_copy(j, slot, kk, half).wait()
+
+        in_copy(j, slot, kk, 0).wait()
+        in_copy(j, slot, kk, kspan - 1).wait()
+
+        r0 = pl.multiple_of(off_ref[i], 8)
+        woff = pl.multiple_of(woff_ref[i], 8)
+        ws = wsel_ref[i]
+        cslot = jnp.where(ws >= 0, ws, nw + kk)
+        _cached_body_span(win.at[slot, kk], i, kk, r0, woff, uoff_ref,
+                          pp_ref, table_ref, lik_ref, wcache, cslot,
+                          wfill_ref[i], wr=wr, num_beams=num_beams,
+                          logical_rows=logical_rows,
+                          logical_cols=logical_cols, lik_scratch=scr,
+                          qu=qu)
+        for half in range(kspan):
+            out_copy(j, slot, kk, half).start()
+
+    _lik_finish_batched(odds_s, use_s, lik_ref)
+
+    @pl.when(j == n - 1)
+    def _():
+        for kk in range(ppb):
+            for half in range(kspan):
+                out_copy(j, slot, kk, half).wait()
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "num_beams",
                                              "max_range_m", "interpret"))
 def fused_update_tiled(pool: Array, table: Array, poses: Array,
                        angles0: Array, distances: Array, valid: Array,
                        present: Array, spec: GridSpec2D, num_beams: int,
                        max_range_m: float, dphi: Array | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       ancestors: Array | None = None):
     """One RBPF grid update over tiled maps.
 
     Same observable semantics as ``fused_update`` on the materialized
     maps (likelihood on the pre-update window, cell-pass integrate),
     with copy-on-write tile privatization fused into the kernel's DMA
     schedule.  Returns (pool', table', log_lik [P]).
+
+    ``ancestors`` is the PENDING resample lineage (i32[P]): the band
+    table is relabeled ``table[ancestors]`` here (the tiled resample's
+    only data movement), and the k-span kernel's shared-window groups
+    key on it directly — segments of one ancestor share table rows
+    verbatim, no content sort needed (the lexsort fallback measured
+    ~5 extra 1,024-element sorts per update).
     """
+    if ancestors is not None:
+        table = jnp.take(table, ancestors.astype(jnp.int32), axis=0)
     p = table.shape[0]
     n_phys, hb, cols = pool.shape
     nb = table.shape[1]
@@ -275,7 +546,12 @@ def fused_update_tiled(pool: Array, table: Array, poses: Array,
         dphi = jnp.float32(2.0 * pymath.pi / num_beams)
     dphi = jnp.asarray(dphi, jnp.float32)
     wr = window_rows(spec, max_range_m)
-    assert wr <= hb + 1 and hb % 8 == 0, (wr, hb)
+    assert hb % 8 == 0, hb
+    if wr > hb + 1:
+        # bands narrower than the window: k-span cached kernel
+        return _fused_update_tiled_kspan(
+            pool, table, poses, angles0, distances, valid, present,
+            spec, num_beams, max_range_m, dphi, interpret, ancestors)
     rows_pad = nb * hb
 
     # column windows + crop128 roll: same policy as fused_update
@@ -379,6 +655,140 @@ def fused_update_tiled(pool: Array, table: Array, poses: Array,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*prefetch, pp, pv, btab, pool)
+
+    return pool_out, new_table, lik[:, 0]
+
+
+def _fused_update_tiled_kspan(pool, table, poses, angles0, distances,
+                              valid, present, spec: GridSpec2D,
+                              num_beams: int, max_range_m: float,
+                              dphi, interpret: bool, ancestors=None):
+    """K-band-span dispatch of :func:`fused_update_tiled` (bands
+    narrower than the window — the 0.02 m-class geometry; see
+    :func:`_kernel_tiled_cached`).  Requires full-width windows, bf16
+    tiles, a crop128-able disc and 16-divisible bands."""
+    p = table.shape[0]
+    n_phys, hb, cols = pool.shape
+    nb = table.shape[1]
+    wr, kspan, nb_need = span_geometry(spec, max_range_m, hb)
+    assert nb >= nb_need, (nb, nb_need)
+    assert pool.dtype == jnp.bfloat16, pool.dtype
+    disc_half = (int(pymath.ceil(max_range_m / spec.resolution))
+                 + ADDITIONAL_STEPS + 1)
+    wc = cols if (cols <= 256 or disc_half > 64) else 256
+    crop128 = wc >= 256 and 2 * disc_half + 1 + 8 <= 128
+    assert wc == cols and crop128, (
+        "k-span tiled kernel needs full-width windows and a "
+        "128-lane-croppable disc", wc, cols, crop128)
+    ppb = 16 if (p % 16 == 0 and p >= 512) else 8
+    assert p % ppb == 0, (p, ppb)
+
+    pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
+    cxy = (poses[:, 0:2] - pos) / spec.resolution
+    theta = poses[:, 2]
+    pp = jnp.stack([cxy[:, 0], cxy[:, 1], theta,
+                    theta + jnp.broadcast_to(
+                        angles0, (p,)).astype(jnp.float32),
+                    jnp.cos(theta), jnp.sin(theta),
+                    jnp.broadcast_to(dphi, (p,)),
+                    jnp.broadcast_to(1.0 / dphi, (p,))],
+                   axis=-1)
+
+    # window row origin: the dense kernel's 8/8 construction, clipped
+    # into band padding like the 2-band kernel (masked rows stay 0)
+    r0 = jnp.round(cxy[:, 1]).astype(jnp.int32) - wr // 2
+    r0 = jnp.clip(r0, 0, max(nb * hb - wr, 0))
+    r0 = (r0 // 8) * 8
+    t0 = r0 // hb
+    woff = r0 - t0 * hb  # 8-aligned in [0, hb-8]
+
+    # full width: c0 = 0; u0 = quantized lane roll of the 128-lane view
+    # (8-quantized so same-ancestor offspring share windows exactly —
+    # output-neutral, see fused_update's sharewin note)
+    ccol = jnp.round(cxy[:, 0]).astype(jnp.int32)
+    u0 = jnp.clip(ccol - 64, 0, wc - 128)
+    u0 = jnp.clip((u0 + 4) // 8 * 8, 0, wc - 128)
+
+    zero = jnp.zeros((p,), jnp.float32)
+    pv = jnp.stack([cxy[:, 0], cxy[:, 1],
+                    jnp.cos(theta), jnp.sin(theta),
+                    r0.astype(jnp.float32), u0.astype(jnp.float32),
+                    zero, zero], axis=-1)
+
+    qu = (pack3_quantum(max_range_m / spec.resolution)
+          if num_beams <= 381 else None)
+    btab = encode_beam_table(distances / spec.resolution, valid, present,
+                             angles0, dphi, pack_quantum=qu)
+
+    src, dst, new_table = tiled_plan(table, t0, n_phys, kspan=kspan)
+    nw = _SHAREWIN_SLOTS
+    if ancestors is not None:
+        # group by pending lineage: same ancestor => identical table row
+        # after the relabel => identical window bytes (with same r0/u0).
+        # No content sort — same keying as the staged kernel's plan.
+        gid = ancestors.astype(jnp.int32)
+    else:
+        gid = _window_groups(src, r0, u0)
+    wsel, wfill = shared_window_plan(gid, r0, u0, nw)
+
+    kernel = functools.partial(
+        _kernel_tiled_cached, wr=wr, hb=hb, kspan=kspan, wc=wc,
+        num_beams=num_beams, logical_rows=spec.rows,
+        logical_cols=spec.cols, ppb=ppb, qu=qu, nw=nw)
+
+    ktot = kspan * hb
+    n_chunks = -(-num_beams // 128)
+    scratch = [
+        pltpu.VMEM((2, ppb, ktot, wc), pool.dtype),  # double-buffered
+        pltpu.SemaphoreType.DMA((2, ppb, kspan)),
+        pltpu.SemaphoreType.DMA((2, ppb, kspan)),
+    ]
+    scratch += [pltpu.VMEM((ppb, 128 * n_chunks), jnp.float32)
+                for _ in range(4)]
+    # pre-rolled i32 sublane-pair VIEW cache: nw shared slots + ppb
+    # reserved private slots
+    scratch.append(pltpu.VMEM((nw + ppb, wr // 2, wc), jnp.int32))
+    scratch_bytes = (2 * ppb * ktot * wc * pool.dtype.itemsize
+                     + 4 * ppb * 128 * n_chunks * 4
+                     + (nw + ppb) * (wr // 2) * wc * 4)
+
+    prefetch = ([src[:, c] for c in range(kspan)]
+                + [dst[:, c] for c in range(kspan)]
+                + [r0, woff, u0, wsel, wfill])
+    n_pool_in = 3 + len(prefetch)
+
+    lik_spec = pl.BlockSpec((ppb, 128), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    lik, pool_out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=len(prefetch),
+            grid=(p // ppb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # pp [P, 8]
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # pv [P, 8]
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # table [8, 512]
+                pl.BlockSpec(memory_space=pl.ANY),       # pool
+            ],
+            out_specs=[
+                lik_spec,
+                pl.BlockSpec(memory_space=pl.ANY),       # pool out
+            ],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((p, 128), jnp.float32),
+            jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        ],
+        input_output_aliases={n_pool_in: 1},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # tight cap: scratch + pipeline slack (a loose cap measurably
+            # degrades Mosaic's pipelining, see fused_update's note)
+            vmem_limit_bytes=scratch_bytes + 8 * 1024 * 1024),
         interpret=interpret,
     )(*prefetch, pp, pv, btab, pool)
 

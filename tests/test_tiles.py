@@ -179,6 +179,71 @@ def test_tiled_edge_windows_match():
         np.asarray(dense, np.float32))
 
 
+# 96 x 256 cells: the 0.02 m-CLASS geometry in miniature — the window
+# (wr=56) covers most map rows, so auto_band_rows picks half-window
+# bands (hb=24) and fused_update_tiled dispatches to the k-span cached
+# kernel (kspan=3)
+KSPEC = GridSpec2D(-6.4, -2.4, 12.8, 4.8, 0.05)
+
+
+def test_tiled_kspan_matches_dense_kernel():
+    """The k-span cached kernel (bands narrower than the window) must
+    stay BITWISE equal to the dense HBM kernel, with the PENDING
+    resample lineage applied in-call and the shared-window groups keyed
+    on it (fillers cache the pre-rolled view; sharers skip middle-band
+    DMAs and recompute from the cache)."""
+    from slamrs_tpu.ops.tiles import auto_band_rows, span_geometry
+
+    wr = window_rows(KSPEC, 1.0)
+    hb = auto_band_rows(KSPEC, 1.0)
+    assert hb is not None and wr > hb + 1
+    _, kspan, nb = span_geometry(KSPEC, 1.0, hb)
+    assert kspan >= 3
+    pool, table = init_tiled(P, KSPEC, 1.0, dtype=jnp.bfloat16)
+    assert pool.shape[1] == hb
+    dense = jnp.zeros((P, KSPEC.rows, 256), jnp.bfloat16)
+    a0 = jnp.float32(0.0)
+    rng = np.random.default_rng(13)
+    anc = jnp.arange(P, dtype=jnp.int32)  # first update: identity pending
+    for step in range(4):
+        k = jax.random.key(800 + step)
+        poses = jnp.stack([
+            jax.random.uniform(k, (P,), jnp.float32, -6.3, 6.3),
+            jax.random.uniform(jax.random.fold_in(k, 1), (P,),
+                               jnp.float32, -2.3, 2.3),
+            jax.random.uniform(jax.random.fold_in(k, 2), (P,),
+                               jnp.float32, -3.0, 3.0)], axis=-1)
+        if step == 1:
+            # true sharers: same ancestor (set below at step 0) AND the
+            # exact same pose -> one filler + two cache sharers
+            poses = poses.at[1].set(poses[0]).at[2].set(poses[0])
+        if step == 2:
+            # r0/t0 clamps at the y-edges, u0 clamps at the x-edges
+            poses = poses.at[0, 1].set(-2.35).at[1, 1].set(2.35)
+            poses = poses.at[2, 0].set(-6.35).at[3, 0].set(6.35)
+        dist, valid, present = _scan(900 + step)
+        pool, table, lt = fused_update_tiled(
+            pool, table, poses, a0, dist, valid, present, KSPEC, B, 1.0,
+            interpret=True, ancestors=anc)
+        dense = jnp.take(dense, anc, axis=0)
+        dense, ld = fused_update(dense, poses, a0, dist, valid, present,
+                                 KSPEC, B, 1.0, resident=False,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(lt), np.asarray(ld),
+                                      err_msg=f"lik step {step}")
+        mat = materialize(pool, table, KSPEC)
+        np.testing.assert_array_equal(
+            np.asarray(mat, np.float32), np.asarray(dense, np.float32),
+            err_msg=f"maps step {step}")
+        # padded column tail must stay exactly 0 (CLAUDE.md invariant)
+        assert (np.asarray(mat, np.float32)[:, :, KSPEC.cols:] == 0).all()
+        # concentrated PENDING lineage for the next update
+        anc = jnp.asarray(np.sort(rng.integers(0, max(2, P // 2), size=P)),
+                          jnp.int32)
+        if step == 0:
+            anc = anc.at[0].set(0).at[1].set(0).at[2].set(0)
+
+
 import pytest
 
 
@@ -215,7 +280,12 @@ def test_gridslam_tiled_bitwise_vs_gather(neff_frac):
                                       np.asarray(sd.weights))
         np.testing.assert_array_equal(np.asarray(ot.pose),
                                       np.asarray(od_.pose))
-        mt = materialize(st.grids, st.tile_table, SPEC)
+        # the tiled table carries a PENDING lineage (slot i's map is
+        # tile_table[ancestors[i]] until the next update applies it);
+        # the dense formulation gathered its maps immediately
+        mt = materialize(st.grids,
+                         jnp.take(st.tile_table, st.ancestors, axis=0),
+                         SPEC)
         np.testing.assert_array_equal(
             np.asarray(mt, np.float32),
             np.asarray(sd.grids, np.float32), err_msg=f"step {step}")
