@@ -282,7 +282,11 @@ def _gather_beam_pack3(table_ref, bins_f, rows, cols, qu):
 def _atan2(y, x):
     """atan2 via octant reduction + minimax poly (~2e-7 rad rel; bins
     are 1.75e-2 rad wide — bin assignments match exact arctan2 except
-    ~1-per-million boundary cells)."""
+    ~1-per-million boundary cells).  The octant ratio stays a plain
+    divide: ``pl.reciprocal(approx=False)`` measured ~5x cheaper in an
+    isolated op chain (benchmarks/prof_ops.py) but +40 us on the full
+    002 kernel — its multi-op lowering serializes on the same port the
+    surrounding chain needs, while the divide pipelines."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
@@ -527,7 +531,7 @@ def _lik_finish_batched(odds_s, use_s, lik_ref):
 
 def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
                logical_rows, logical_cols, c0=None, return_inc=False,
-               qu=None):
+               qu=None, check_rows=True):
     """Dense inverse-sensor-model integration: returns updated window f32.
 
     w32: window [wr, cols] f32 log-odds (pre-update).
@@ -545,27 +549,36 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
             return jnp.zeros((wr, cols), jnp.float32) + cx
         return w32 + cx
 
-    wy = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 0).astype(
-        jnp.float32) + r0.astype(jnp.float32)
-    wx = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 1).astype(
+    # local window coordinates; the window origin (r0/c0) and the robot
+    # offset fold into ONE scalar-or-[1,128] constant per axis, so dx/dy
+    # each cost a single [wr, cols] add (vs three materializing absolute
+    # coordinates) and the bounds compare against shifted constants —
+    # exact: all folded terms are small-integer-valued f32, so the
+    # bounds predicates are bitwise identical to the absolute form
+    wyl = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 0).astype(
         jnp.float32)
-    if c0 is not None:
-        wx = wx + c0.astype(jnp.float32)
-    dx = wx + 0.5 - cx
-    dy = wy + 0.5 - cy
+    wxl = jax.lax.broadcasted_iota(jnp.int32, (wr, cols), 1).astype(
+        jnp.float32)
+    r0f = r0.astype(jnp.float32)
+    c0f = None if c0 is None else c0.astype(jnp.float32)
+    dx = wxl + ((0.5 - cx) if c0f is None else c0f + (0.5 - cx))
+    dy = wyl + (r0f + (0.5 - cy))
     r2 = dx * dx + dy * dy
 
     phi = dy * 0.001 if _ABLATE == "noatan" else _atan2(dy, dx)
-    # angular bin honoring the scan's true spacing, wrapped in ANGLE
-    # space (one full circle).  ``ta`` is theta + angles0 pre-folded.
-    # One select maps cells within half a bin of closing the circle to
-    # beam 0 (valid for ANY dphi, unlike a table wrap lane which only
-    # reaches gather range < 384); partial-sector ABSENT bins land on
-    # -0.0 padding lanes, resolved by the gather itself.
-    rel = phi - ta
-    rel = rel - two_pi * jnp.floor(rel * (1.0 / two_pi))
-    bins_f = jnp.round(rel * inv_dphi)
-    bins_f = jnp.where(bins_f >= two_pi * inv_dphi - 0.5, 0.0, bins_f)
+    # angular bin honoring the scan's true spacing, computed in BIN
+    # units (phi*inv_dphi - ta*inv_dphi, wrapped over nb bins — one op
+    # fewer than wrapping in angle space then scaling).  ``ta`` is
+    # theta + angles0 pre-folded.  One select maps cells within half a
+    # bin of closing the circle to beam 0 (valid for ANY dphi, unlike a
+    # table wrap lane which only reaches gather range < 384);
+    # partial-sector ABSENT bins land on -0.0 padding lanes, resolved
+    # by the gather itself.
+    nb_f = two_pi * inv_dphi
+    b0 = phi * inv_dphi - ta * inv_dphi
+    b0 = b0 - nb_f * jnp.floor(b0 * (dphi * (1.0 / two_pi)))
+    bins_f = jnp.round(b0)
+    bins_f = jnp.where(bins_f >= nb_f - 0.5, 0.0, bins_f)
 
     # inverse sensor model (map.rs:148-172).  One gather only: a second
     # table fetch of pre-squared interval bounds measured +150 us at the
@@ -588,17 +601,27 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
         present = d_enc != 0.0  # +-0.0 -> absent (IEEE: -0.0 == 0.0)
         d = jnp.abs(d_enc)
     half = TOLERANCE_CELLS / 2.0
-    dm = jnp.maximum(d - half, 0.0)
-    a_sq = jnp.where(was_hit, dm * dm, d * d)
+    # select-then-square: one multiply instead of two, identical values
+    am = jnp.where(was_hit, jnp.maximum(d - half, 0.0), d)
+    a_sq = am * am
     dp = d + half
     b_sq = jnp.where(was_hit, dp * dp, -1.0)
     inc = jnp.where(r2 < a_sq, L_FREE,
                     jnp.where(r2 <= b_sq, L_OCCUPIED, 0.0))
-    # multiplicity compensation: beams-per-cell density near the robot
+    # multiplicity compensation: beams-per-cell density near the robot.
+    # rsqrt stays: sqrt+pl.reciprocal measured ~5x cheaper in an
+    # isolated chain (benchmarks/prof_ops.py) but regressed the full
+    # kernel — see _atan2's docstring for the same in-context effect.
     dens = (jnp.float32(1.0) if _ABLATE == "nodens" else
             jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2, 0.25))
                         * inv_dphi))
-    in_bounds = (wy < float(logical_rows)) & (wx < float(logical_cols))
+    # row bound: statically true whenever the caller proves the window
+    # cannot extend past the logical rows (r0 <= rows - wr and the
+    # physical row count <= logical_rows — every fused_update geometry)
+    in_bounds = wxl < (float(logical_cols) if c0f is None
+                       else float(logical_cols) - c0f)
+    if check_rows:
+        in_bounds = in_bounds & (wyl < float(logical_rows) - r0f)
     inc = jnp.where(present & in_bounds, inc * dens, 0.0)
 
     # no log-odds clamp: unbounded growth matches the reference and
@@ -617,7 +640,7 @@ def _params(pp_ref, i):
 def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
                     table_ref, lik_ref, *, wr, wc, num_beams,
                     logical_rows, logical_cols, ppb, crop128,
-                    lik_scratch=None, qu=None):
+                    lik_scratch=None, qu=None, check_rows=True):
     """THE per-particle compute on a [wr, wc] window pair (shared by the
     resident kernels' sliced map views and the HBM kernel's DMA'd
     scratch window): optional roll to a robot-centered 128-lane view,
@@ -672,7 +695,8 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
     out = _cell_pass(w32, params, table_ref, wr=wr, cols=cw,
                      num_beams=num_beams, r0=r0,
                      logical_rows=logical_rows,
-                     logical_cols=logical_cols, c0=ceff, qu=qu)
+                     logical_cols=logical_cols, c0=ceff, qu=qu,
+                     check_rows=check_rows)
     if pair:
         out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
         w_out[...] = pltpu.bitcast(
@@ -689,7 +713,7 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
 def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
                    table_ref, lik_ref, k, *, wr, cols, wc, num_beams,
                    logical_rows, logical_cols, ppb, crop128,
-                   lik_scratch=None, qu=None):
+                   lik_scratch=None, qu=None, check_rows=True):
     """One particle of the resident kernels: slice the [wr, wc] window
     views out of the (VMEM-resident) maps and run the shared compute."""
     r0 = pl.multiple_of(off_ref[i], 8)
@@ -705,7 +729,7 @@ def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
                     table_ref, lik_ref, wr=wr, wc=wc, num_beams=num_beams,
                     logical_rows=logical_rows, logical_cols=logical_cols,
                     ppb=ppb, crop128=crop128, lik_scratch=lik_scratch,
-                    qu=qu)
+                    qu=qu, check_rows=check_rows)
 
 
 def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
@@ -725,7 +749,7 @@ def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
 
 def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
                 pp_ref, table_ref, lik_scratch, *, wr, num_beams,
-                logical_rows, logical_cols, qu=None):
+                logical_rows, logical_cols, qu=None, check_rows=True):
     """Two particles, ONE [wr, 128] cell-pass evaluation: particle A's
     disc occupies view lanes [0, 64), B's [64, 128) (view lane l maps to
     grid column l + gofs[l]).  The ALU-bound per-cell pass is pure
@@ -783,7 +807,7 @@ def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
                       num_beams=num_beams, r0=r0v,
                       logical_rows=logical_rows,
                       logical_cols=logical_cols, c0=gofs,
-                      return_inc=True, qu=qu)
+                      return_inc=True, qu=qu, check_rows=check_rows)
 
     l64 = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1) < 64
     incA = pltpu.roll(jnp.where(l64, incp, 0.0), uA, 1)
@@ -798,7 +822,7 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                      grid_in, lik_ref, grid_out, xi_s=None, yi_s=None,
                      use_s=None, odds_s=None, *, wr, cols, wc, num_beams,
                      logical_rows, logical_cols, ppb, crop128,
-                     pack2=False, qu=None):
+                     pack2=False, qu=None, check_rows=True):
     """``ppb`` particles per grid program (statically unrolled).
 
     Per-program overhead is the measured bottleneck of this kernel, not
@@ -821,7 +845,8 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                         grid_out.at[iB], iA, iB, kA, kB, off_ref,
                         uoff_ref, pp_ref, table_ref, scr, wr=wr,
                         num_beams=num_beams, logical_rows=logical_rows,
-                        logical_cols=logical_cols, qu=qu)
+                        logical_cols=logical_cols, qu=qu,
+                        check_rows=check_rows)
         _lik_finish_batched(odds_s, use_s, lik_ref)
         return
     for k in range(ppb):
@@ -831,7 +856,8 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                        cols=cols, wc=wc, num_beams=num_beams,
                        logical_rows=logical_rows,
                        logical_cols=logical_cols, ppb=ppb,
-                       crop128=crop128, lik_scratch=scr, qu=qu)
+                       crop128=crop128, lik_scratch=scr, qu=qu,
+                       check_rows=check_rows)
     if scr is not None:
         _lik_finish_batched(odds_s, use_s, lik_ref)
 
@@ -841,7 +867,7 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                          xi_s=None, yi_s=None, use_s=None, odds_s=None, *,
                          wr, cols, wc, num_beams, logical_rows,
                          logical_cols, ppb, crop128, pack2=False,
-                         qu=None):
+                         qu=None, check_rows=True):
     """Deferred-resample variant: particle i continues lineage
     ``anc_ref[i]`` — the systematic-resample ancestor gather becomes an
     index indirection here instead of a separate whole-map ``jnp.take``
@@ -869,7 +895,8 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                         grid_out.at[iB], iA, iB, kA, kB, off_ref,
                         uoff_ref, pp_ref, table_ref, scr, wr=wr,
                         num_beams=num_beams, logical_rows=logical_rows,
-                        logical_cols=logical_cols, qu=qu)
+                        logical_cols=logical_cols, qu=qu,
+                        check_rows=check_rows)
         _lik_finish_batched(odds_s, use_s, lik_ref)
         return
     for k in range(ppb):
@@ -881,7 +908,8 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                        cols=cols, wc=wc, num_beams=num_beams,
                        logical_rows=logical_rows,
                        logical_cols=logical_cols, ppb=ppb,
-                       crop128=crop128, lik_scratch=scr, qu=qu)
+                       crop128=crop128, lik_scratch=scr, qu=qu,
+                       check_rows=check_rows)
     if scr is not None:
         _lik_finish_batched(odds_s, use_s, lik_ref)
 
@@ -890,7 +918,8 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, pv_ref,
                     table_ref, grid_in, lik_ref, grid_out, win, sem_in,
                     sem_out, sem_band, xi_s=None, yi_s=None, use_s=None,
                     odds_s=None, *, wr, wc, num_beams, logical_rows,
-                    logical_cols, ppb, crop128, rows, qu=None):
+                    logical_cols, ppb, crop128, rows, qu=None,
+                    check_rows=True):
     """Deferred-lineage HBM kernel: the resample's map copy FUSED into the
     update's own DMA schedule (particle.rs:78-105 + map.rs:71-145 in one
     pass).
@@ -994,7 +1023,8 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, pv_ref,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr, qu=qu)
+                        crop128=crop128, lik_scratch=scr, qu=qu,
+                        check_rows=check_rows)
         if band > 0:
             ba, bb = band_copies(j, slot, k)
             ba.wait()
@@ -1100,7 +1130,7 @@ def shared_window_plan(spos: Array, r0: Array, u0: Array, nw: int):
 
 def _cached_body(w_out, i, k, r0, uoff_ref, pp_ref, table_ref, lik_ref,
                  wcache, cslot, fill, *, wr, num_beams, logical_rows,
-                 logical_cols, lik_scratch, qu):
+                 logical_cols, lik_scratch, qu, check_rows=True):
     """Shared-window-cache variant of :func:`_window_compute` (pair-mode
     crop128, full-width windows): the pre-rolled i32 sublane-pair window
     lives in ``wcache[cslot]``.  Fillers (``fill == 1``) produce it from
@@ -1125,7 +1155,7 @@ def _cached_body(w_out, i, k, r0, uoff_ref, pp_ref, table_ref, lik_ref,
     out = _cell_pass(w32, params, table_ref, wr=wr, cols=128,
                      num_beams=num_beams, r0=r0,
                      logical_rows=logical_rows, logical_cols=logical_cols,
-                     c0=u0, qu=qu)
+                     c0=u0, qu=qu, check_rows=check_rows)
     out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
     w_out[...] = pltpu.bitcast(
         pltpu.roll(jnp.concatenate([out_p, rolledp[:, 128:]], axis=1),
@@ -1134,7 +1164,7 @@ def _cached_body(w_out, i, k, r0, uoff_ref, pp_ref, table_ref, lik_ref,
 
 def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, *rest, wr, wc,
                        num_beams, logical_rows, logical_cols, ppb,
-                       crop128, rows, qu=None, nw=0):
+                       crop128, rows, qu=None, nw=0, check_rows=True):
     """Deferred-lineage HBM kernel WITH in-place aliasing — the design
     :func:`_kernel_hbm_anc` measured out of reach (its docstring: a
     lineage kernel cannot alias its in/out grid buffers, and the
@@ -1302,14 +1332,15 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, *rest, wr, wc,
                          wr=wr, num_beams=num_beams,
                          logical_rows=logical_rows,
                          logical_cols=logical_cols, lik_scratch=scr,
-                         qu=qu)
+                         qu=qu, check_rows=check_rows)
         else:
             _window_compute(win.at[slot, k], win.at[slot, k], i, k, r0,
                             None, uoff_ref, pp_ref, table_ref, lik_ref,
                             wr=wr, wc=wc, num_beams=num_beams,
                             logical_rows=logical_rows,
                             logical_cols=logical_cols, ppb=ppb,
-                            crop128=crop128, lik_scratch=scr, qu=qu)
+                            crop128=crop128, lik_scratch=scr, qu=qu,
+                            check_rows=check_rows)
         if band > 0:
             @pl.when(spos_ref[i] >= 0)
             def _():
@@ -1331,7 +1362,7 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                 grid_in, lik_ref, grid_out, win, sem_in, sem_out,
                 xi_s=None, yi_s=None, use_s=None, odds_s=None, *, wr, wc,
                 num_beams, logical_rows, logical_cols, ppb, crop128,
-                qu=None):
+                qu=None, check_rows=True):
     """HBM-grid variant: the per-particle window is BOTH row- and
     column-cropped ([wr, wc] with a 128-aligned column offset), so huge
     maps (config 3: 1000x1024 cells) move only the scan-disc
@@ -1401,7 +1432,8 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr, qu=qu)
+                        crop128=crop128, lik_scratch=scr, qu=qu,
+                        check_rows=check_rows)
         out_copy(j, slot, k).start()
 
     if scr is not None:
@@ -1554,6 +1586,13 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     table = encode_beam_table(distances / spec.resolution, valid,
                               present, angles0, dphi, pack_quantum=qu)
 
+    # the cell pass's row-bound select is statically elidable whenever
+    # the physical row count has no padding past the logical rows: every
+    # window row slice satisfies r0 + wr <= rows (r0 clamped above), so
+    # wy < rows <= logical_rows always.  tiles.py's band-padded maps
+    # (rows_pad > logical band rows) keep the default check.
+    chk_rows = rows > spec.rows
+
     if deferred and not resident:
         # fused-lineage HBM kernels: full-width windows + disjoint static
         # row bands only (see kernel docstrings); callers gate
@@ -1563,29 +1602,30 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             kernel = functools.partial(
                 _kernel_hbm_staged, wr=wr, wc=wc, num_beams=num_beams,
                 logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-                crop128=crop128, rows=rows, qu=qu, nw=nw)
+                crop128=crop128, rows=rows, qu=qu, nw=nw,
+                check_rows=chk_rows)
         else:
             kernel = functools.partial(
                 _kernel_hbm_anc, wr=wr, wc=wc, num_beams=num_beams,
                 logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-                crop128=crop128, rows=rows, qu=qu)
+                crop128=crop128, rows=rows, qu=qu, check_rows=chk_rows)
     elif deferred:
         kernel = functools.partial(
             _kernel_resident_anc, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
             logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2,
-            qu=qu)
+            qu=qu, check_rows=chk_rows)
     elif resident:
         kernel = functools.partial(
             _kernel_resident, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
             logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2,
-            qu=qu)
+            qu=qu, check_rows=chk_rows)
     else:
         kernel = functools.partial(
             _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
             logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-            crop128=crop128, qu=qu)
+            crop128=crop128, qu=qu, check_rows=chk_rows)
     space = pltpu.VMEM if resident else pl.ANY
     if resident:
         scratch = []
@@ -1725,20 +1765,23 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
         factor = jnp.where(odds == 0.0, 1.0 / SENSOR_MAXDIST, mix)
         lik = jnp.sum(jnp.where(use, jnp.log(factor), 0.0))
 
-        wy = (jnp.arange(wr, dtype=jnp.float32)[:, None]
-              + rr0.astype(jnp.float32))
-        wx = jnp.arange(cols, dtype=jnp.float32)[None, :]
-        dx = wx + 0.5 - cx
-        dy = wy + 0.5 - cy
+        # same folded-offset / bin-units arithmetic as the kernel's
+        # _cell_pass (1:1 rounding, except atan2 which is exact here)
+        wyl = jnp.arange(wr, dtype=jnp.float32)[:, None]
+        wxl = jnp.arange(cols, dtype=jnp.float32)[None, :]
+        rr0f = rr0.astype(jnp.float32)
+        dx = wxl + (0.5 - cx)
+        dy = wyl + (rr0f + (0.5 - cy))
         r2 = dx * dx + dy * dy
         r = jnp.sqrt(r2)
         phi = jnp.arctan2(dy, dx)
-        rel = phi - theta - angles0
-        rel = rel - two_pi * jnp.floor(rel / two_pi)
-        t = rel / dphi
-        bins_f = jnp.round(t)
-        nb2pi = two_pi / dphi
-        wrap = bins_f >= nb2pi - 0.5
+        inv_dphi = 1.0 / dphi
+        ta = theta + angles0
+        nb_f = two_pi * inv_dphi
+        b0 = phi * inv_dphi - ta * inv_dphi
+        b0 = b0 - nb_f * jnp.floor(b0 * (dphi * (1.0 / two_pi)))
+        bins_f = jnp.round(b0)
+        wrap = bins_f >= nb_f - 0.5
         absent = (bins_f > num_beams - 1) & (~wrap)
         bins_f = jnp.where(wrap, 0.0, bins_f)
         bins_f = jnp.where(absent, float(num_beams), bins_f)
@@ -1759,7 +1802,8 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
         inc = jnp.where(r2 < a_sq, L_FREE,
                         jnp.where(r2 <= b_sq, L_OCCUPIED, 0.0))
         dens = jnp.maximum(1.0, 1.0 / (jnp.maximum(r, 0.5) * dphi))
-        in_b = (wy < float(spec.rows)) & (wx < float(spec.cols))
+        in_b = ((wyl < float(spec.rows) - rr0f)
+                & (wxl < float(spec.cols)))
         inc = jnp.where(pres & in_b, inc * dens, 0.0)
         out = jax.lax.dynamic_update_slice(
             grid, (win + inc).astype(grid.dtype), (rr0, 0))
