@@ -1075,6 +1075,62 @@ def staged_lineage_plan(ancestors: Array):
     return spos, usrc, count
 
 
+def merge_segment_windows(ancestors: Array, r0: Array, u0: Array,
+                          cxy: Array, disc_half: int, wr: int,
+                          logical_rows: int, logical_cols: int,
+                          view_cols: int = 128):
+    """Collapse (r0, u0) window-placement variants across each
+    pending-lineage segment (host-side, traced): offspring adopt their
+    segment LEADER's window row origin / compute-view column origin
+    whenever the leader placement still covers their whole scan disc,
+    so the shared-window group key (stage slot, r0, u0) merges one
+    ancestor's offspring into ONE window DMA + roll instead of 2-4
+    variants (measured ~0.65 us per unique window at the 0.02 m config,
+    benchmarks/prof_uniq.py; the real lineage spread back-solved to
+    ~180 effective uniques vs ~11-40 actual ancestors).
+
+    Output-neutral and BITWISE exact under the coverage condition: the
+    cell pass's folded window offsets are exact f32 adds of
+    small-integer terms (see _cell_pass), so every absolute cell
+    computes identical values from either placement; with the disc
+    covered, both placements update the same cell set and keep the same
+    endpoints in-window.  ``disc_half`` bounds the ISM effect radius
+    (d + qu/2 + TOLERANCE/2 + 0.5 <= ceil(max_range_cells) + 2.1 <
+    disc_half) and the endpoint radius (d <= max_range_cells); beams
+    measured beyond ``max_range_m`` (real captures only) mark free
+    space to the window edge, so their tail cells follow the window
+    choice — the documented out-of-window deviation class (module
+    docstring); every bitwise-gated dataset has d <= max_range.
+    Non-covered offspring keep their own placement — correct, just
+    unmerged.  Segments are runs of equal ancestor values (the same
+    definition staged_lineage_plan uses), so leaders are each run's
+    lowest index — consistent with shared_window_plan's
+    lowest-index-fills invariant.
+
+    Returns (r0', u0') i32[P].
+    """
+    p = r0.shape[0]
+    anc32 = ancestors.astype(jnp.int32)
+    idxp = jnp.arange(p, dtype=jnp.int32)
+    segf = jnp.concatenate([jnp.ones((1,), bool), anc32[1:] != anc32[:-1]])
+    leader = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(segf, idxp, -1))
+    fy = jnp.floor(cxy[:, 1])
+    fx = jnp.floor(cxy[:, 0])
+    dh = float(disc_half)
+    lo_r = jnp.maximum(fy - dh, 0.0)
+    hi_r = jnp.minimum(fy + dh, float(logical_rows - 1))
+    r0_l = r0[leader]
+    ok_r = ((r0_l.astype(jnp.float32) <= lo_r)
+            & (hi_r < (r0_l + wr).astype(jnp.float32)))
+    lo_c = jnp.maximum(fx - dh, 0.0)
+    hi_c = jnp.minimum(fx + dh, float(logical_cols - 1))
+    u0_l = u0[leader]
+    ok_c = ((u0_l.astype(jnp.float32) <= lo_c)
+            & (hi_c < (u0_l + view_cols).astype(jnp.float32)))
+    return (jnp.where(ok_r, r0_l, r0), jnp.where(ok_c, u0_l, u0))
+
+
 def shared_window_plan(spos: Array, r0: Array, u0: Array, nw: int):
     """Host-side (traced) window dedup for :func:`_kernel_hbm_staged`'s
     shared-window cache: particles whose pre-update window is the SAME
@@ -1562,6 +1618,11 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     nw = _SHAREWIN_SLOTS if sharewin else 0
     if sharewin:
         u0 = jnp.clip((u0 + 4) // 8 * 8, 0, wc - 128)
+        # collapse one ancestor's offspring to ONE window DMA + roll
+        # (see merge_segment_windows' docstring for the exactness
+        # argument); c0 == 0 here (wc == cols), so u0 IS the view origin
+        r0, u0 = merge_segment_windows(ancestors, r0, u0, cxy, disc_half,
+                                       wr, spec.rows, spec.cols)
 
     # per-particle VECTOR params for the batched-lik phase A (VMEM,
     # f32): cx, cy, cos/sin theta, window row offset, and the compute

@@ -67,8 +67,9 @@ from slamrs_tpu.ops.fused import (_SHAREWIN_SLOTS, _cell_pass,
                                   _lik_finish_batched,
                                   _lik_gather_fold_packed, _lik_prepare,
                                   _params, _window_compute,
-                                  encode_beam_table, pack3_quantum,
-                                  shared_window_plan, window_rows)
+                                  encode_beam_table, merge_segment_windows,
+                                  pack3_quantum, shared_window_plan,
+                                  window_rows)
 from slamrs_tpu.ops.grid import ADDITIONAL_STEPS, GridSpec2D
 
 Array = jnp.ndarray
@@ -701,8 +702,6 @@ def _fused_update_tiled_kspan(pool, table, poses, angles0, distances,
     r0 = jnp.round(cxy[:, 1]).astype(jnp.int32) - wr // 2
     r0 = jnp.clip(r0, 0, max(nb * hb - wr, 0))
     r0 = (r0 // 8) * 8
-    t0 = r0 // hb
-    woff = r0 - t0 * hb  # 8-aligned in [0, hb-8]
 
     # full width: c0 = 0; u0 = quantized lane roll of the 128-lane view
     # (8-quantized so same-ancestor offspring share windows exactly —
@@ -710,6 +709,17 @@ def _fused_update_tiled_kspan(pool, table, poses, angles0, distances,
     ccol = jnp.round(cxy[:, 0]).astype(jnp.int32)
     u0 = jnp.clip(ccol - 64, 0, wc - 128)
     u0 = jnp.clip((u0 + 4) // 8 * 8, 0, wc - 128)
+    if ancestors is not None:
+        # collapse one ancestor's offspring to ONE window DMA + roll
+        # (fused.merge_segment_windows: leader placement adopted when it
+        # still covers the offspring's scan disc — output-neutral, same
+        # argument as the staged kernel).  The band span (t0, below)
+        # follows the merged r0, so merged offspring also touch — and
+        # privatize — the SAME kspan bands as their leader.
+        r0, u0 = merge_segment_windows(ancestors, r0, u0, cxy, disc_half,
+                                       wr, spec.rows, spec.cols)
+    t0 = r0 // hb
+    woff = r0 - t0 * hb  # 8-aligned in [0, hb-8]
 
     zero = jnp.zeros((p,), jnp.float32)
     pv = jnp.stack([cxy[:, 0], cxy[:, 1],

@@ -13,6 +13,7 @@ from slamrs_tpu.core.types import OdometryReading, Scan
 from slamrs_tpu.models import gridslam as gs
 from slamrs_tpu.ops.fused import (encode_beam_table, fused_update,
                                   fused_update_reference,
+                                  merge_segment_windows,
                                   shared_window_plan, window_rows)
 from slamrs_tpu.ops.grid import GridSpec2D, grid_integrate_dense, \
     grid_log_likelihood, dense_window_for
@@ -250,6 +251,39 @@ def test_pack2_packed_lik_matches_unpacked_bf16():
                                    present, SPEC, B, 1.0)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(lr),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_merge_segment_windows_coverage_and_fallback():
+    """merge_segment_windows invariants: offspring adopt the segment
+    LEADER's (r0, u0) exactly when the leader placement still covers
+    their scan disc (rows [floor(cy)-dh, floor(cy)+dh] clipped to the
+    logical grid inside [r0, r0+wr), columns likewise inside the
+    128-lane view); non-covered offspring keep their own placement;
+    leaders and singleton segments are unchanged."""
+    dh, wr, rows, cols = 53, 120, 200, 200
+    anc = jnp.asarray([4, 4, 4, 4, 9, 9, 12], jnp.int32)
+    #                  L  near far edge L near lone
+    cy = jnp.asarray([100.0, 103.0, 170.0, 4.0, 60.0, 62.0, 30.0])
+    cx = jnp.asarray([100.0, 98.0, 100.0, 100.0, 80.0, 170.0, 30.0])
+    cxy = jnp.stack([cx, cy], axis=-1)
+    r0 = jnp.asarray([40, 48, 112, 0, 0, 8, 0], jnp.int32)
+    u0 = jnp.asarray([40, 32, 40, 40, 16, 104, 0], jnp.int32)
+    r0m, u0m = map(np.asarray, merge_segment_windows(
+        anc, r0, u0, cxy, dh, wr, rows, cols))
+    # particle 1: rows [50, 156] and cols [45, 151] fit the leader's
+    # [40, 160) x [40, 168) placement -> adopts (40, 40)
+    assert r0m[1] == 40 and u0m[1] == 40
+    # particle 2: cy=170 -> row 199 (clipped) >= 40+120 -> keeps own r0;
+    # columns still covered -> adopts leader u0
+    assert r0m[2] == 112 and u0m[2] == 40
+    # particle 3: cy=4 -> lo_r clipped to 0 < 40 -> keeps own r0=0
+    assert r0m[3] == 0
+    # particle 5: cx=170 -> col 199 (clipped) >= 40+... leader u0=16
+    # covers [16, 144) but hi_c=199 isn't inside -> keeps own u0
+    assert u0m[5] == 104 and r0m[5] == 0  # rows merged (60->62 close)
+    # leaders and the lone segment are untouched
+    assert (r0m[[0, 4, 6]] == [40, 0, 0]).all()
+    assert (u0m[[0, 4, 6]] == [40, 16, 0]).all()
 
 
 def test_shared_window_plan_groups_fillers_overflow():
