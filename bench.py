@@ -285,10 +285,12 @@ def main() -> None:
         note("config3_resample_write_MB_at_50pct_dup", wbytes, "MB")
         v_never = bench_grid_slam(particles=1024, width=50.0,
                                   resolution=0.05, neff=0.0,
-                                  grid_dtype="bfloat16", n1=10, n2=110)
+                                  grid_dtype="bfloat16", resample_cow=True,
+                                  n1=10, n2=110)
         v_always = bench_grid_slam(particles=1024, width=50.0,
                                    resolution=0.05, neff=1.0,
-                                   grid_dtype="bfloat16", n1=10, n2=110)
+                                   grid_dtype="bfloat16", resample_cow=True,
+                                   n1=10, n2=110)
         note("config3_ticks_per_s_never_resample", v_never, "ticks/s")
         note("config3_ticks_per_s_always_resample", v_always, "ticks/s")
         r_us = (1.0 / v_always - 1.0 / v_never) * ticks_per_frame(0.2) * 1e6
@@ -308,6 +310,15 @@ def main() -> None:
          "ticks/s")
 
     if not headline_only:
+        try:
+            # strict reference semantics: resample EVERY update
+            # (slam.rs:74 has no N_eff gate) — the reference-faithful
+            # number next to the gated headline (VERDICT r4 #7)
+            v = bench_grid_slam(neff=1.0, n2=2050)
+            note("grid_slam_ticks_per_s_ref_cadence_1024p_0.05m_always_resample",
+                 v, "ticks/s")
+        except Exception as e:
+            print(f"  always-resample bench failed: {e}", file=sys.stderr)
         try:
             v = bench_grid_slam(grid_dtype="float32", n2=2050)
             note("grid_slam_ticks_per_s_ref_cadence_1024p_0.05m_f32", v,
@@ -335,8 +346,13 @@ def main() -> None:
         except Exception as e:
             print(f"  config2 bench failed: {e}", file=sys.stderr)
         try:
+            # resample_cow=True pins the dense whole-map CoW formulation:
+            # auto (None) now selects TILED storage at this geometry
+            # (gridslam.auto_tiled — the 2 GB set is CoW-bandwidth-bound)
+            # and this leg records the dense comparison point
             v = bench_grid_slam(particles=1024, width=50.0, resolution=0.05,
-                                grid_dtype="bfloat16", n1=10, n2=110)
+                                grid_dtype="bfloat16", resample_cow=True,
+                                n1=10, n2=110)
             note("grid_slam_ticks_per_s_config3_1024p_50m_0.05m_2GB", v,
                  "ticks/s")
         except Exception as e:

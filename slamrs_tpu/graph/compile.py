@@ -154,21 +154,17 @@ class FusedWorld:
 
             if self.grid_config is not None:
                 gcfg = self.grid_config
-                if batch and gcfg.integrate == "fused":
-                    # batched worlds: per-world grids look small at trace
-                    # time, but the stacked array must stream from HBM;
-                    # the CoW copy kernel is per-call (not vmappable) so
-                    # fleets keep the gather resample
-                    gcfg = dataclasses.replace(
-                        gcfg,
-                        fused_resident=(False if gcfg.fused_resident is None
-                                        else gcfg.fused_resident),
-                        resample_cow=False)
                 upd = lambda st, sc, od, k: gs_model.update(
                     st, sc, od, k, gcfg)
                 if batch:
                     keys = jax.random.split(k_grid, batch[0])
-                    if self.mesh is not None and gcfg.integrate == "fused":
+                    if gcfg.integrate == "fused":
+                        # update_fleet owns the batched fused policy:
+                        # HBM windows (the stacked grids array streams),
+                        # the flattened cross-world CoW resample (or the
+                        # tiled trace-time world loop), and — with a
+                        # mesh — shard_map'd kernels + the local-first
+                        # sharded resample (parallel/{shard,resample}.py)
                         grid, gout = gs_model.update_fleet(
                             grid, scan, odometry, keys, gcfg,
                             mesh=self.mesh)

@@ -123,6 +123,28 @@ class GridSlamConfig:
         return self.grid_spec.max_ray_steps(self.max_scan_range)
 
 
+def auto_tiled(config: "GridSlamConfig") -> bool:
+    """ONE-comparison storage heuristic (VERDICT r4 #5): tile-pool maps
+    when the particle map SET is so large that the whole-map CoW
+    resample is HBM-write-bandwidth bound — BENCH_CONFIG3_BOUND measured
+    the staged CoW copy at ~94% of HBM peak on the 2 GB config-3 set,
+    and the tiled ~18x byte cut there wins 2.7x end to end
+    (BENCH_DETAIL config3 tiled vs dense).  Below ~1 GB the duplicated
+    bytes fit the copy budget and the dense kernels win (the tiled
+    kernel's compute is fully exposed; benchmarks/README.md) — the
+    0.02 m headline set (80 MB) and config 2 (82 MB) stay dense."""
+    if config.integrate != "fused" or config.resample_cow is not None:
+        return False
+    spec = config.grid_spec
+    itemsize = 2 if config.grid_dtype == "bfloat16" else 4
+    set_bytes = config.n_particles * spec.rows * config.padded_cols \
+        * itemsize
+    return set_bytes > _AUTO_TILED_BYTES
+
+
+_AUTO_TILED_BYTES = 1 << 30  # see auto_tiled (module-level for tests)
+
+
 class GridSlamState(NamedTuple):
     poses: Array  # f32[..., P, 3]
     grids: Array  # f32[..., P, H, W] log-odds (tiled: the tile POOL)
@@ -147,15 +169,18 @@ class GridSlamState(NamedTuple):
         if config.integrate == "fused":
             dtype = jnp.bfloat16 if config.grid_dtype == "bfloat16" \
                 else jnp.float32
-            if config.resample_cow == "tiled":
-                if batch_shape:
-                    raise ValueError(
-                        "tiled maps support unbatched worlds only "
-                        "(the CoW plan is per-call)")
+            if config.resample_cow == "tiled" or auto_tiled(config):
                 from slamrs_tpu.ops.tiles import init_tiled
 
                 grids, tile_table = init_tiled(
                     p, spec, config.max_scan_range, dtype=dtype)
+                if batch_shape:
+                    # per-world pools (update_fleet loops worlds at
+                    # trace time — the tile plan is per-call)
+                    grids = jnp.broadcast_to(
+                        grids, (*batch_shape, *grids.shape))
+                    tile_table = jnp.broadcast_to(
+                        tile_table, (*batch_shape, *tile_table.shape))
             else:
                 grids = jnp.zeros(
                     (*batch_shape, p, spec.rows, config.padded_cols),
@@ -240,7 +265,8 @@ def _weigh_and_select(log_lik: Array, log_motion: Array,
 
 def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
            key: Array, config: GridSlamConfig,
-           noise: UpdateNoise | None = None
+           noise: UpdateNoise | None = None,
+           external_resample: bool = False
            ) -> tuple[GridSlamState, GridSlamOutputs]:
     """One SLAM update for a single world (vmap over worlds for fleets).
 
@@ -249,6 +275,14 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     (:func:`derive_noise` of the same ``key`` — the identical draws);
     when given, ``key`` is not consumed, letting rollouts hoist all RNG
     out of the sequential scan body.
+
+    ``external_resample=True`` (fused path only) skips the resample
+    APPLICATION entirely: the returned state carries the pending
+    ``ancestors`` with poses and grids untouched, and the CALLER must
+    apply the lineage (``update_fleet`` does this with one flattened
+    copy-on-write pass across all worlds — the per-call CoW kernel is
+    not vmappable, but a [W*P] plan with block-diagonal ancestors is a
+    single call).
     """
     p = config.n_particles
     spec = config.grid_spec
@@ -273,13 +307,21 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     # 2+3) weights log p(z|x,m) + integrate (slam.rs:62, 67).  The fused
     # path does both in one Pallas VMEM pass; the others are separate ops.
     deferred = False
+    # tiled STORAGE is decided at init (explicit resample_cow="tiled" or
+    # the auto_tiled heuristic) — the state carries the decision
     tiled = (config.integrate == "fused"
-             and config.resample_cow == "tiled")
-    if not tiled and state.tile_table is not None:
+             and state.tile_table is not None)
+    if state.tile_table is not None and (
+            config.integrate != "fused"
+            or config.resample_cow not in (None, "tiled")):
         # a tiled state under a non-tiled config would silently treat
         # the tile POOL as dense [P, H, W] maps
-        raise ValueError("state has a tile_table but the config is not "
-                         "resample_cow='tiled'")
+        raise ValueError("state has a tile_table but the config does "
+                         "not accept tiled maps (integrate='fused' with "
+                         "resample_cow None or 'tiled')")
+    if config.resample_cow == "tiled" and state.tile_table is None:
+        raise ValueError("config pins resample_cow='tiled' but the state "
+                         "has no tile pool — init with the same config")
     new_table = None
     if tiled:
         from slamrs_tpu.ops.tiles import fused_update_tiled
@@ -387,7 +429,15 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
     use_cow = (config.integrate == "fused" and not deferred and not tiled
                and (config.resample_cow
                     if config.resample_cow is not None else True))
-    if tiled:
+    if external_resample:
+        if config.integrate != "fused" or deferred or tiled:
+            raise ValueError("external_resample needs the fused path "
+                             "with in-call lineage disabled (the caller "
+                             "owns the application)")
+        # the caller applies the lineage (flattened CoW across worlds);
+        # poses and grids stay in pre-resample slot order
+        pending = ancestors
+    elif tiled:
         # tile-pool maps: the resample is a band-TABLE relabel — zero
         # map bytes move — applied PENDING inside the NEXT update's call
         # (identity ancestors on N_eff skip make it a no-op gather);
@@ -452,16 +502,29 @@ def update_fleet(state: GridSlamState, scan: Scan,
     take for bitwise reproducibility vs the unsharded fleet.
     """
     if state.tile_table is not None:
-        raise ValueError("tiled maps (resample_cow='tiled') support "
-                         "unbatched worlds only — fleets would treat "
-                         "the tile pool as dense maps")
-    if config.integrate != "fused" or mesh is None:
-        if config.integrate == "fused":
-            # CoW's copy kernel is per-call (scalar prefetch) — NOT
-            # vmappable; batched fleets must keep the gather resample
-            config = dataclasses.replace(config, resample_cow=False)
+        return _update_fleet_tiled(state, scan, odometry, keys, config,
+                                   mesh)
+    if config.integrate != "fused":
         upd = lambda st, sc, od, k: update(st, sc, od, k, config)
         return jax.vmap(upd)(state, scan, odometry, keys)
+    if mesh is None:
+        return _update_fleet_cow(state, scan, odometry, keys, config)
+    world_only = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        "particle", 1) == 1
+    if (world_only and config.resample_cow is not False
+            and config.fused_resident is not True
+            and config.fleet_resample != "gather"):
+        # pure-DP mesh: each device owns whole worlds, so the flattened
+        # CoW pass runs per device under shard_map over the world axis —
+        # only duplicated maps move, and nothing crosses devices
+        from jax.sharding import PartitionSpec as _P
+
+        body = lambda st, sc, od, k: _update_fleet_cow(st, sc, od, k,
+                                                       config)
+        w = _P("world")
+        fn = jax.shard_map(body, mesh=mesh, in_specs=(w, w, w, w),
+                           out_specs=(w, w), check_vma=False)
+        return fn(state, scan, odometry, keys)
 
     p = config.n_particles
     spec = config.grid_spec
@@ -519,6 +582,107 @@ def update_fleet(state: GridSlamState, scan: Scan,
                                       resampled=do_resample)
 
 
+def _update_fleet_cow(state: GridSlamState, scan: Scan,
+                      odometry: OdometryReading, keys: Array,
+                      config: GridSlamConfig
+                      ) -> tuple[GridSlamState, GridSlamOutputs]:
+    """Fused-path fleet update with ONE flattened copy-on-write resample
+    across all worlds — the single-device CoW mechanism (only duplicated
+    maps move, ops/cow.py) composed with batched worlds.
+
+    ``update(external_resample=True)`` under vmap leaves every world's
+    lineage PENDING; the application is then a single ``[W*P]``
+    :func:`slamrs_tpu.ops.cow.cow_resample` call with BLOCK-DIAGONAL
+    ancestors (world w's entries offset by ``w*P``).  ``cow_plan`` is
+    world-preserving on such a plan: within each world the number of
+    extra children equals the number of freed slots, and both the copy
+    sources (extra children, ascending by slot) and destinations (freed
+    slots, ascending) enumerate in global slot order, so the per-world
+    prefix counts align — copy j's src and dst always land in the same
+    world block.  Slot order within a world is free (a particle filter
+    is a weighted multiset — same semantics as the mesh-local relabel,
+    parallel/resample.py); ``fleet_resample="gather"`` keeps the
+    slot-exact whole-set take for bitwise-vs-unsharded comparisons.
+    Reference semantics per world: particle.rs:78-105.
+    """
+    if (config.resample_cow is False or config.fused_resident is True
+            or config.fleet_resample == "gather"):
+        # slot-exact fallback: per-world gather behind the N_eff cond
+        cfg = dataclasses.replace(
+            config, resample_cow=False,
+            fused_resident=(False if config.fused_resident is None
+                            else config.fused_resident))
+        upd = lambda st, sc, od, k: update(st, sc, od, k, cfg)
+        return jax.vmap(upd)(state, scan, odometry, keys)
+    from slamrs_tpu.ops.cow import cow_resample
+
+    # force HBM windows (the batched grids array is worlds x bigger than
+    # the per-world slice vmap traces) and pin resample_cow=True so the
+    # per-world update neither defers lineage into the next kernel nor
+    # applies it in-call — external_resample hands it to us pending
+    cfg = dataclasses.replace(config, resample_cow=True,
+                              fused_resident=False)
+    upd = lambda st, sc, od, k: update(st, sc, od, k, cfg,
+                                       external_resample=True)
+    st, outs = jax.vmap(upd)(state, scan, odometry, keys)
+    w = st.poses.shape[0]
+    p = config.n_particles
+    anc = (st.ancestors
+           + p * jnp.arange(w, dtype=jnp.int32)[:, None]).reshape(w * p)
+    gshape = st.grids.shape
+    poses, grids = cow_resample(
+        st.grids.reshape(w * p, *gshape[2:]),
+        st.poses.reshape(w * p, 3), anc,
+        interpret=jax.default_backend() == "cpu")
+    identity = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (w, p))
+    st = st._replace(poses=poses.reshape(w, p, 3),
+                     grids=grids.reshape(gshape),
+                     ancestors=identity)
+    return st, outs
+
+
+def _update_fleet_tiled(state: GridSlamState, scan: Scan,
+                        odometry: OdometryReading, keys: Array,
+                        config: GridSlamConfig, mesh=None
+                        ) -> tuple[GridSlamState, GridSlamOutputs]:
+    """Tiled-pool fleets (``resample_cow="tiled"`` at scale).
+
+    The tiled kernel's copy-on-write plan is scalar-prefetched per call,
+    so worlds run as a TRACE-TIME loop — fleet widths at tiled geometry
+    are small by construction (the 2 GB config-3 pools cap how many
+    worlds a chip holds).  Under a world-only mesh the loop runs per
+    device inside ``shard_map``: each device owns whole worlds' pools
+    and band tables, so the zero-copy band-table relabel — the whole
+    point of tiled maps — survives scale-out with nothing crossing
+    devices.  Reference semantics at scale: particle.rs:78-105 over
+    independent worlds (slam.rs:45-75 each).
+    """
+    if mesh is not None:
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if axes.get("particle", 1) != 1:
+            raise ValueError("tiled fleets shard over worlds only (the "
+                             "tile pool and its CoW plan are per-world)")
+        from jax.sharding import PartitionSpec as _P
+
+        body = lambda st, sc, od, k: _update_fleet_tiled(st, sc, od, k,
+                                                         config, None)
+        w = _P("world")
+        fn = jax.shard_map(body, mesh=mesh, in_specs=(w, w, w, w),
+                           out_specs=(w, w), check_vma=False)
+        return fn(state, scan, odometry, keys)
+    n_worlds = state.poses.shape[0]
+    sts, outs = [], []
+    for i in range(n_worlds):
+        st_i, out_i = update(jax.tree.map(lambda x: x[i], state),
+                             jax.tree.map(lambda x: x[i], scan),
+                             jax.tree.map(lambda x: x[i], odometry),
+                             keys[i], config)
+        sts.append(st_i)
+        outs.append(out_i)
+    stk = lambda *xs: jnp.stack(xs)
+    return jax.tree.map(stk, *sts), jax.tree.map(stk, *outs)
+
+
 def estimated_probability_grid(state: GridSlamState,
                                config: GridSlamConfig | None = None) -> Array:
     """Occupancy probabilities of the best particle's map.
@@ -532,8 +696,14 @@ def estimated_probability_grid(state: GridSlamState,
 
         # the tile table carries a PENDING lineage: slot i's row is
         # tile_table[ancestors[i]] until the next update applies it
-        row = state.tile_table[state.ancestors[state.best_idx]]
-        grid = materialize_one(state.grids, row)
+        if state.tile_table.ndim == 3:  # [W, P, nb] batched worlds
+            one = lambda pool, tbl, anc, bi: materialize_one(
+                pool, tbl[anc[bi]])
+            grid = jax.vmap(one)(state.grids, state.tile_table,
+                                 state.ancestors, state.best_idx)
+        else:
+            row = state.tile_table[state.ancestors[state.best_idx]]
+            grid = materialize_one(state.grids, row)
     elif state.grids.ndim > 3:  # [..., P, H, W] batched worlds
         idx = state.best_idx[..., None, None, None]
         grid = jnp.take_along_axis(

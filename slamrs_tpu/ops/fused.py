@@ -96,6 +96,18 @@ if _ABLATE:
     print(f"WARNING: SLAMRS_FUSED_ABLATE={_ABLATE} active — fused "
           "kernel output is fabricated (profiling only)", file=sys.stderr)
 
+# A/B hook for the window-variant merge (benchmarks/prof_uniq.py): unlike
+# _ABLATE this is CORRECT either way (merging is output-neutral under its
+# coverage condition) — it only changes how many unique window DMAs+rolls
+# the staged kernel performs.  Frozen at import like the other hooks.
+_NOMERGE = bool(os.environ.get("SLAMRS_FUSED_NOMERGE"))
+
+# jax.debug.print the staged kernel's per-call plan sizes (window fills =
+# DMAs+rolls actually performed, staged unique maps) — the direct
+# measurement of "effective uniques" the e2e back-solve estimated
+# (benchmarks/prof_uniq.py; VERDICT r4 #3).  Frozen at import.
+_DEBUG_GROUPS = bool(os.environ.get("SLAMRS_FUSED_DEBUG_GROUPS"))
+
 _BEAM_PAD = 512  # beam table lanes (360 -> 3 gather chunks of 128 + pad)
 
 # shared-window cache slots (staged HBM kernel): covers the measured
@@ -1618,11 +1630,26 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     nw = _SHAREWIN_SLOTS if sharewin else 0
     if sharewin:
         u0 = jnp.clip((u0 + 4) // 8 * 8, 0, wc - 128)
-        # collapse one ancestor's offspring to ONE window DMA + roll
-        # (see merge_segment_windows' docstring for the exactness
-        # argument); c0 == 0 here (wc == cols), so u0 IS the view origin
-        r0, u0 = merge_segment_windows(ancestors, r0, u0, cxy, disc_half,
-                                       wr, spec.rows, spec.cols)
+        if not _NOMERGE:
+            # collapse one ancestor's offspring to ONE window DMA + roll
+            # (see merge_segment_windows' docstring for the exactness
+            # argument); c0 == 0 here (wc == cols), so u0 IS the view
+            # origin.  Scans with any beam measured beyond max_range
+            # (real long-range captures only) keep their own placements:
+            # such beams mark free space to the WINDOW EDGE, so merged
+            # offspring would trace the leader's window and the
+            # out-of-window deviation class widens from the 8-cell roll
+            # rounding to tens of cells (ADVICE r4) — the merge is only
+            # applied when every present beam's disc is window-covered.
+            max_range_cells = max_range_m / spec.resolution
+            has_long = jnp.any(
+                present & (distances / spec.resolution
+                           > max_range_cells))
+            r0m, u0m = merge_segment_windows(ancestors, r0, u0, cxy,
+                                             disc_half, wr, spec.rows,
+                                             spec.cols)
+            r0 = jnp.where(has_long, r0, r0m)
+            u0 = jnp.where(has_long, u0, u0m)
 
     # per-particle VECTOR params for the batched-lik phase A (VMEM,
     # f32): cx, cy, cos/sin theta, window row offset, and the compute
@@ -1716,6 +1743,11 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
         prefetch = [spos, usrc, cnt, r0, c0, u0]
         if sharewin:
             wsel, wfill = shared_window_plan(spos, r0, u0, nw)
+            if _DEBUG_GROUPS:
+                jax.debug.print(
+                    "plan: window_fills={f} staged_maps={c} inplace={s}",
+                    f=jnp.sum(wfill), c=cnt[0],
+                    s=jnp.sum(spos < 0))
             prefetch = [spos, usrc, cnt, wsel, wfill, r0, c0, u0]
     elif deferred:
         prefetch = [ancestors.astype(jnp.int32), r0, c0, u0]

@@ -62,14 +62,28 @@ def fleet_shardings(state, mesh: Mesh, worlds: int):
     if state.grid is not None:
         from slamrs_tpu.models.gridslam import GridSlamState
 
-        grid_sh = GridSlamState(
-            poses=ws("particle"),  # [W, P, 3]
-            grids=ws("particle"),  # [W, P, H, Wc]
-            weights=ws("particle"),  # [W, P]
-            best_pose=ws(),  # [W, 3]
-            best_idx=ws(),  # [W]
-            ancestors=ws("particle"),  # [W, P]
-        )
+        if state.grid.tile_table is not None:
+            # tiled maps (world-only meshes): grids is the per-world
+            # tile POOL [W, n_phys, hb, C] — its second axis is physical
+            # tiles, NOT particles; shard the world axis only
+            grid_sh = GridSlamState(
+                poses=ws("particle"),   # [W, P, 3]
+                grids=ws(),             # [W, n_phys, hb, C] pool
+                weights=ws("particle"),
+                best_pose=ws(),
+                best_idx=ws(),
+                ancestors=ws("particle"),
+                tile_table=ws("particle"),  # [W, P, nb]
+            )
+        else:
+            grid_sh = GridSlamState(
+                poses=ws("particle"),  # [W, P, 3]
+                grids=ws("particle"),  # [W, P, H, Wc]
+                weights=ws("particle"),  # [W, P]
+                best_pose=ws(),  # [W, 3]
+                best_idx=ws(),  # [W]
+                ancestors=ws("particle"),  # [W, P]
+            )
     icp_sh = (jax.tree.map(lambda _: ws(), state.icp)
               if state.icp is not None else None)
     ekf_sh = (jax.tree.map(lambda _: ws(), state.ekf)

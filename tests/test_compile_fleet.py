@@ -192,14 +192,19 @@ def test_fleet_fused_sharded():
                                np.asarray(final_p.grid.poses), atol=1e-5)
     # grid gate: shard_map and vmap are DIFFERENT compilations of the
     # same kernel body, so fma-contraction can differ by an ulp — which
-    # flips the angular-bin assignment of a ~1e-6 fraction of boundary
-    # cells (full L_FREE/L_OCCUPIED-sized cell diffs, the same
-    # contraction class _pack2_body documents).  Gate the equality
-    # FRACTION, not bitwise equality across compilations.
+    # flips a ~1e-6 fraction of boundary cells by ulp-scale amounts
+    # (measured at HEAD: 2 cells of 2.6M, max |diff| 0.0625 ~ 1 bf16
+    # ulp at that log-odds magnitude — the same contraction class
+    # _pack2_body documents).  Gate the equality FRACTION, and bound
+    # the MAGNITUDE of the disagreeing cells so a real sharding bug
+    # corrupting a few hundred cells arbitrarily cannot pass.
     d_s = np.asarray(final_s.grid.grids, np.float32)
     d_p = np.asarray(final_p.grid.grids, np.float32)
     eq = float((d_s == d_p).mean())
     assert eq > 0.9999, f"sharded/unsharded grid agreement {eq}"
+    max_diff = float(np.abs(d_s - d_p).max())
+    assert max_diff <= 0.25, (
+        f"disagreeing cells diverge by {max_diff} (> ulp scale)")
     assert np.isfinite(np.asarray(outs_s.n_eff)).all()
 
 
