@@ -130,6 +130,63 @@ def main():
         dense = jnp.take(dense, anc3, axis=0)
     check("tiled vs dense (512-col, 3 rounds)", ok, detail)
 
+    # 4) K-SPAN tiled kernel (93eb616) vs dense at 0.02 m-class geometry
+    # (bands narrower than the window; shared-window cache keyed on the
+    # pending lineage) — the r4 path BENCH ran but never hw-gated
+    pool4, table4 = init_tiled(p, spec2, 1.0, dtype=jnp.bfloat16)
+    assert pool4.shape[1] < 120, "geometry must select the k-span kernel"
+    dense4 = jnp.zeros((p, table4.shape[1] * pool4.shape[1],
+                        pool4.shape[2]), jnp.bfloat16)
+    rng4 = np.random.default_rng(31)
+    ok4, detail4 = True, ""
+    anc4 = anc
+    for step in range(3):
+        poses4 = centers[jnp.arange(p) % 8] + jit * (step + 1)
+        dist4, valid4, present4 = scan_input(40 + step)
+        pool4, table4, lt4 = fused_update_tiled(
+            pool4, table4, poses4, a0, dist4, valid4, present4, spec2, B,
+            1.0, ancestors=anc4)
+        dense4, ld4 = fused_update(
+            jnp.take(dense4, anc4, axis=0), poses4, a0, dist4, valid4,
+            present4, spec2, B, 1.0, resident=False, ancestors=None)
+        mat4 = np.asarray(materialize(pool4, table4), np.float32)
+        dn4 = np.asarray(dense4, np.float32)
+        if not (mat4 == dn4).all() or not (
+                np.asarray(lt4) == np.asarray(ld4)).all():
+            ok4 = False
+            detail4 = (f"step {step}: grid diff "
+                       f"{float(np.abs(mat4 - dn4).max())}")
+            break
+        anc4 = jnp.asarray(np.sort(rng4.integers(0, p, size=p)), jnp.int32)
+    check("kspan tiled vs dense (0.02m, 3 lineage rounds)", ok4, detail4)
+
+    # 5) static bin-units pipeline (r5) on hardware: kernel(static dphi)
+    # vs kernel(traced dphi of the same value) — bin assignments may
+    # differ on ~ulp rounding-path boundaries only — and vs the pure-XLA
+    # oracle mirror (gates Mosaic's compiled lowering of the new
+    # pipeline, not just the interpreter's)
+    from slamrs_tpu.ops.fused import fused_update_reference
+
+    dphi_s = float(np.radians(1.0))
+    g5a, l5a = fused_update(g0, poses2, a0, dist2, valid2, present2,
+                            spec2, B, 1.0, resident=False, dphi=dphi_s)
+    g5b, l5b = fused_update(g0, poses2, a0, dist2, valid2, present2,
+                            spec2, B, 1.0, resident=False,
+                            dphi=jnp.float32(dphi_s))
+    d5a = np.asarray(g5a, np.float32)
+    d5b = np.asarray(g5b, np.float32)
+    flip_ab = float((np.abs(d5a - d5b) > 0.01).mean())
+    go, lo = jax.jit(lambda g, q, A, d, v, pr: fused_update_reference(
+        g, q, A, d, v, pr, spec2, B, 1.0, dphi=dphi_s))(
+            g0, poses2, a0, dist2, valid2, present2)
+    flip_o = float((np.abs(d5a - np.asarray(go, np.float32)) > 0.01).mean())
+    lik_close = bool(np.allclose(np.asarray(l5a), np.asarray(lo),
+                                 rtol=2e-4, atol=2e-4))
+    check("static bin-units pipeline (vs traced + vs oracle)",
+          flip_ab < 1e-4 and flip_o < 1e-4 and lik_close,
+          f"(flip_vs_traced={flip_ab:.2e}, flip_vs_oracle={flip_o:.2e}, "
+          f"lik_close={lik_close})")
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}",
           flush=True)
     sys.exit(1 if failures else 0)

@@ -28,6 +28,7 @@ period=0.2s, dt=1/30s) is identical to the reference's accumulator.
 from __future__ import annotations
 
 import dataclasses
+import math as pymath
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -450,6 +451,15 @@ def make_fused(scene: Optional[sim_model.Scene] = None,
                        (-0.6, -0.4), (0.6, 0.4), (0.6, -0.4)])
     if params is None:
         params = sim_model.SimParams.make()
+    if (grid_config is not None and grid_config.integrate == "fused"
+            and grid_config.beam_spacing is None):
+        # the simulator ALWAYS emits uniform 1-degree tables
+        # (models/simulator.py:155 deg2rad(arange)), regardless of
+        # num_beams (fewer beams = a partial sector, not wider spacing):
+        # give the fused cell pass the spacing statically so it runs the
+        # leaner bin-units pipeline (ops/fused._cell_pass)
+        grid_config = dataclasses.replace(
+            grid_config, beam_spacing=pymath.radians(1.0))
     sim_cfg = SimulatorNodeConfig(topic_command="robot/command")
     return FusedWorld(
         sim_config=sim_cfg, scene=scene, params=params, dt=dt,

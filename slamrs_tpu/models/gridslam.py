@@ -101,6 +101,14 @@ class GridSlamConfig:
     # the config-3 formulation (2 GB map sets, where whole-map CoW is
     # the measured HBM-bound step cost).  Unbatched worlds only.
     resample_cow: bool | str | None = None
+    # STATIC beam spacing (radians) of the scan's uniform angle table,
+    # or None to derive it from scan.angles at trace time.  Both scan
+    # producers emit 1-degree tables (simulator.py:155, io/neato.py:51),
+    # so the graph compiler sets math.radians(1.0) on fused configs —
+    # the cell pass then runs the 5-ops-leaner static bin-units
+    # pipeline (ops/fused._cell_pass).  Leave None for nonstandard
+    # tables fed directly into update().
+    beam_spacing: float | None = None
     # mesh-sharded fleet resampling mode: "local" relabels slots
     # local-first so only spilled unique maps cross devices
     # (parallel/resample.py — no full-grid all-gather); "gather" keeps
@@ -327,8 +335,9 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
         from slamrs_tpu.ops.tiles import fused_update_tiled
 
         nb_beams = scan.angles.shape[-1]
-        dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb_beams > 1
-                else jnp.float32(2.0 * jnp.pi))
+        dphi = (config.beam_spacing if config.beam_spacing is not None
+                else scan.angles[..., 1] - scan.angles[..., 0]
+                if nb_beams > 1 else jnp.float32(2.0 * jnp.pi))
         # PENDING lineage (like the deferred dense path): the band-table
         # relabel — the tiled resample's only data movement — happens
         # inside the call, and the kernel's shared-window groups key on
@@ -375,8 +384,9 @@ def update(state: GridSlamState, scan: Scan, odometry: OdometryReading,
             config.resample_cow in (None, "deferred", "staged")
             and hbm_lineage_ok)
         nb = scan.angles.shape[-1]
-        dphi = (scan.angles[..., 1] - scan.angles[..., 0] if nb > 1
-                else jnp.float32(2.0 * jnp.pi))
+        dphi = (config.beam_spacing if config.beam_spacing is not None
+                else scan.angles[..., 1] - scan.angles[..., 0]
+                if nb > 1 else jnp.float32(2.0 * jnp.pi))
         if _STUB_KERNEL:  # profiling only (loud warning at import)
             grids = state.grids
             log_lik = jnp.sum(state.grids[:, :1, :1].astype(jnp.float32),
@@ -544,7 +554,8 @@ def update_fleet(state: GridSlamState, scan: Scan,
     grids, log_lik = fused_update_batched(
         state.grids, new_poses, scan.angles[:, 0], scan.distances,
         scan.valid, scan.present, spec, nb, config.max_scan_range,
-        dphi, mesh=mesh, interpret=jax.default_backend() == "cpu")
+        dphi, mesh=mesh, interpret=jax.default_backend() == "cpu",
+        dphi_static=config.beam_spacing)
 
     log_motion = jax.vmap(motion.log_prob)(
         state.poses, new_poses, odometry.distance_left,

@@ -261,7 +261,7 @@ def _gather_beam(table_ref, bins, rows, cols, table_rows=(0,)):
     return outs[0] if len(table_rows) == 1 else outs
 
 
-def _gather_beam_pack3(table_ref, bins_f, rows, cols, qu):
+def _gather_beam_pack3(table_ref, bins_f, rows, cols, qu, clamp=True):
     """Single-chunk beam gather off the packed row 5 (see
     :func:`_pack3_row`): lane = floor(bins/3) on ONE 128-lane table
     broadcast, then a 10-bit field extract in registers.  Replaces the
@@ -269,14 +269,21 @@ def _gather_beam_pack3(table_ref, bins_f, rows, cols, qu):
     benchmarks/prof_trim.py pack3).  ``bins_f`` is the FLOAT bin index
     in [0, 2pi/dphi); values >= 384 (partial-sector absent bins) clamp
     onto padding lanes and decode as absent, matching the chunked
-    gather's out-of-range behavior.
+    gather's out-of-range behavior.  ``clamp=False`` statically elides
+    both clamps — sound only when the caller PROVES bins <= 383 (the
+    static-dphi bin pipeline: wrap bound nbf <= 383, so lane <= 127 and
+    rem in {0, 1, 2} by construction).
     Returns (d [rows, cols] f32 cells, was_hit, present) masks.
     """
     third = jnp.float32(1.0 / 3.0)
-    q_f = jnp.minimum(jnp.floor(bins_f * third), 127.0)
+    q_f = jnp.floor(bins_f * third)
+    if clamp:
+        q_f = jnp.minimum(q_f, 127.0)
     # clamp rem too: clamped lanes would otherwise shift by >= 32 bits
     # (undefined) — any field of the padding lane decodes absent
-    rem = jnp.minimum(bins_f - 3.0 * q_f, 2.0)
+    rem = bins_f - 3.0 * q_f
+    if clamp:
+        rem = jnp.minimum(rem, 2.0)
     shift = (rem * 10.0).astype(jnp.int32)
     q = q_f.astype(jnp.int32)
     parts = []
@@ -291,25 +298,33 @@ def _gather_beam_pack3(table_ref, bins_f, rows, cols, qu):
     return d, v < 512, v != 0
 
 
-def _atan2(y, x):
-    """atan2 via octant reduction + minimax poly (~2e-7 rad rel; bins
-    are 1.75e-2 rad wide — bin assignments match exact arctan2 except
-    ~1-per-million boundary cells).  The octant ratio stays a plain
-    divide: ``pl.reciprocal(approx=False)`` measured ~5x cheaper in an
-    isolated op chain (benchmarks/prof_ops.py) but +40 us on the full
-    002 kernel — its multi-op lowering serializes on the same port the
-    surrounding chain needs, while the divide pipelines."""
+_ATAN_COEFS = (0.99997726, -0.33262347, 0.19354346, -0.11643287,
+               0.05265332, -0.01172120)
+
+
+def _atan2(y, x, scale: float = 1.0):
+    """``atan2(y, x) * scale`` via octant reduction + minimax poly
+    (~2e-7 rad rel; bins are 1.75e-2 rad wide — bin assignments match
+    exact arctan2 except ~1-per-million boundary cells).  ``scale``
+    folds a STATIC unit conversion (the bin pipeline's 1/dphi) into the
+    poly coefficients and octant constants, eliding the separate
+    [wr, cols] multiply the radian form needs (scale=1.0 reproduces the
+    radian form bitwise — c*1.0 is exact).  The octant ratio stays a
+    plain divide: ``pl.reciprocal(approx=False)`` measured ~5x cheaper
+    in an isolated op chain (benchmarks/prof_ops.py) but +40 us on the
+    full 002 kernel — its multi-op lowering serializes on the same port
+    the surrounding chain needs, while the divide pipelines."""
+    c0, c1, c2, c3, c4, c5 = (c * scale for c in _ATAN_COEFS)
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
     z = lo / jnp.maximum(hi, 1e-30)
     z2 = z * z
-    a = z * (0.99997726 + z2 * (-0.33262347 + z2 * (
-        0.19354346 + z2 * (-0.11643287 + z2 * (
-            0.05265332 - z2 * 0.01172120)))))
-    a = jnp.where(ay > ax, (pymath.pi / 2) - a, a)
-    a = jnp.where(x < 0, pymath.pi - a, a)
+    a = z * (c0 + z2 * (c1 + z2 * (
+        c2 + z2 * (c3 + z2 * (c4 + z2 * c5)))))
+    a = jnp.where(ay > ax, (pymath.pi / 2) * scale - a, a)
+    a = jnp.where(x < 0, pymath.pi * scale - a, a)
     return jnp.where(y < 0, -a, a)
 
 
@@ -543,7 +558,7 @@ def _lik_finish_batched(odds_s, use_s, lik_ref):
 
 def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
                logical_rows, logical_cols, c0=None, return_inc=False,
-               qu=None, check_rows=True):
+               qu=None, check_rows=True, binu=None):
     """Dense inverse-sensor-model integration: returns updated window f32.
 
     w32: window [wr, cols] f32 log-odds (pre-update).
@@ -552,6 +567,16 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     r0: dynamic row offset of the window within the grid.
     logical_rows/cols: cells beyond these are padding — never updated
     (parity with the reference's grid-bounds checks, map.rs:93-97).
+    ``binu`` (static dphi in radians, or None) selects the STATIC
+    bin-units pipeline: the angle is computed directly in bin units
+    (1/dphi folded into the atan2 constants), params slot 3 carries
+    ``T = (theta + angles0)/dphi - 0.5`` so round() becomes floor() and
+    the close-the-circle select disappears into the wrap, and the
+    gather clamps elide (bins <= nbf <= 383 by construction).  5 fewer
+    [wr, cols] vector ops than the traced-dphi pipeline; bin
+    assignments agree except ~ulp-scale rounding-path flips (the same
+    boundary class as the atan2 poly itself, gated by the oracle tests'
+    flip-fraction bounds).
     """
     cx, cy, _theta, ta, _ct, _st, dphi, inv_dphi = params
     two_pi = 2.0 * pymath.pi
@@ -577,20 +602,34 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     dy = wyl + (r0f + (0.5 - cy))
     r2 = dx * dx + dy * dy
 
-    phi = dy * 0.001 if _ABLATE == "noatan" else _atan2(dy, dx)
-    # angular bin honoring the scan's true spacing, computed in BIN
-    # units (phi*inv_dphi - ta*inv_dphi, wrapped over nb bins — one op
-    # fewer than wrapping in angle space then scaling).  ``ta`` is
-    # theta + angles0 pre-folded.  One select maps cells within half a
-    # bin of closing the circle to beam 0 (valid for ANY dphi, unlike a
-    # table wrap lane which only reaches gather range < 384);
-    # partial-sector ABSENT bins land on -0.0 padding lanes, resolved
-    # by the gather itself.
-    nb_f = two_pi * inv_dphi
-    b0 = phi * inv_dphi - ta * inv_dphi
-    b0 = b0 - nb_f * jnp.floor(b0 * (dphi * (1.0 / two_pi)))
-    bins_f = jnp.round(b0)
-    bins_f = jnp.where(bins_f >= nb_f - 0.5, 0.0, bins_f)
+    if binu is not None and _ABLATE != "noatan":
+        # STATIC bin-units pipeline (docstring): atan2 emits bins
+        # directly, ``ta`` carries T = ta/dphi - 0.5, the wrap bounds
+        # bins to [0, nbf] so round+close-the-circle collapse into one
+        # floor, and partial-sector ABSENT bins land on padding lanes
+        # resolved by the gather itself.
+        inv_s = 1.0 / binu
+        nbf = two_pi / binu  # full-circle bin count (360.0 for 1-deg)
+        assert nbf <= 383.5, (nbf, "static bins must fit the gather")
+        phi_b = _atan2(dy, dx, scale=inv_s)
+        b0 = phi_b - ta
+        b0 = b0 - nbf * jnp.floor(b0 * (1.0 / nbf))
+        bins_f = jnp.floor(b0)
+    else:
+        phi = dy * 0.001 if _ABLATE == "noatan" else _atan2(dy, dx)
+        # angular bin honoring the scan's true spacing, computed in BIN
+        # units (phi*inv_dphi - ta*inv_dphi, wrapped over nb bins — one
+        # op fewer than wrapping in angle space then scaling).  ``ta``
+        # is theta + angles0 pre-folded.  One select maps cells within
+        # half a bin of closing the circle to beam 0 (valid for ANY
+        # dphi, unlike a table wrap lane which only reaches gather
+        # range < 384); partial-sector ABSENT bins land on -0.0 padding
+        # lanes, resolved by the gather itself.
+        nb_f = two_pi * inv_dphi
+        b0 = phi * inv_dphi - ta * inv_dphi
+        b0 = b0 - nb_f * jnp.floor(b0 * (dphi * (1.0 / two_pi)))
+        bins_f = jnp.round(b0)
+        bins_f = jnp.where(bins_f >= nb_f - 0.5, 0.0, bins_f)
 
     # inverse sensor model (map.rs:148-172).  One gather only: a second
     # table fetch of pre-squared interval bounds measured +150 us at the
@@ -603,9 +642,11 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
         present = d > 0.5
     elif qu is not None:
         # packed single-chunk gather (d snapped to the static quantum —
-        # the documented fused-path quantization, module docstring)
-        d, was_hit, present = _gather_beam_pack3(table_ref, bins_f, wr,
-                                                 cols, qu)
+        # the documented fused-path quantization, module docstring);
+        # the static pipeline's wrap bound elides both decode clamps
+        d, was_hit, present = _gather_beam_pack3(
+            table_ref, bins_f, wr, cols, qu,
+            clamp=binu is None or _ABLATE == "noatan")
     else:
         bins = bins_f.astype(jnp.int32)
         d_enc = _gather_beam(table_ref, bins, wr, cols)
@@ -649,10 +690,36 @@ def _params(pp_ref, i):
             pp_ref[i, 4], pp_ref[i, 5], pp_ref[i, 6], pp_ref[i, 7])
 
 
+def static_dphi(dphi) -> float | None:
+    """The STATIC beam spacing (python float) when the caller supplied
+    one, else None (traced table — the generic bin pipeline).  Both
+    scan producers emit uniform 1-degree tables (simulator.py:155,
+    io/neato.py:51 — math.radians(1.0)), so production callers pass the
+    spacing statically and the cell pass runs the 5-ops-leaner
+    bin-units pipeline (_cell_pass docstring)."""
+    if dphi is None or isinstance(dphi, (int, float)):
+        return None if dphi is None else float(dphi)
+    return None
+
+
+def _pp_table(cxy, theta, angles0, dphi, p, binu):
+    """[P, 8] SMEM scalar params: cx, cy, theta, ta-or-T, cos, sin,
+    dphi, 1/dphi.  Slot 3 carries ``theta + angles0`` pre-folded
+    (traced pipeline) or ``T = (theta + angles0)/dphi - 0.5`` (static
+    bin-units pipeline — the floor-form rounding constant)."""
+    ta = theta + jnp.broadcast_to(angles0, (p,)).astype(jnp.float32)
+    if binu is not None:
+        ta = ta * jnp.float32(1.0 / binu) - 0.5
+    return jnp.stack([cxy[:, 0], cxy[:, 1], theta, ta,
+                      jnp.cos(theta), jnp.sin(theta),
+                      jnp.broadcast_to(dphi, (p,)),
+                      jnp.broadcast_to(1.0 / dphi, (p,))], axis=-1)
+
+
 def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
                     table_ref, lik_ref, *, wr, wc, num_beams,
                     logical_rows, logical_cols, ppb, crop128,
-                    lik_scratch=None, qu=None, check_rows=True):
+                    lik_scratch=None, qu=None, check_rows=True, binu=None):
     """THE per-particle compute on a [wr, wc] window pair (shared by the
     resident kernels' sliced map views and the HBM kernel's DMA'd
     scratch window): optional roll to a robot-centered 128-lane view,
@@ -707,7 +774,7 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
     out = _cell_pass(w32, params, table_ref, wr=wr, cols=cw,
                      num_beams=num_beams, r0=r0,
                      logical_rows=logical_rows,
-                     logical_cols=logical_cols, c0=ceff, qu=qu,
+                     logical_cols=logical_cols, c0=ceff, qu=qu, binu=binu,
                      check_rows=check_rows)
     if pair:
         out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
@@ -725,7 +792,7 @@ def _window_compute(w_in, w_out, i, k, r0, c0, uoff_ref, pp_ref,
 def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
                    table_ref, lik_ref, k, *, wr, cols, wc, num_beams,
                    logical_rows, logical_cols, ppb, crop128,
-                   lik_scratch=None, qu=None, check_rows=True):
+                   lik_scratch=None, qu=None, check_rows=True, binu=None):
     """One particle of the resident kernels: slice the [wr, wc] window
     views out of the (VMEM-resident) maps and run the shared compute."""
     r0 = pl.multiple_of(off_ref[i], 8)
@@ -741,7 +808,7 @@ def _resident_body(src, dst, i, off_ref, coff_ref, uoff_ref, pp_ref,
                     table_ref, lik_ref, wr=wr, wc=wc, num_beams=num_beams,
                     logical_rows=logical_rows, logical_cols=logical_cols,
                     ppb=ppb, crop128=crop128, lik_scratch=lik_scratch,
-                    qu=qu, check_rows=check_rows)
+                    qu=qu, binu=binu, check_rows=check_rows)
 
 
 def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
@@ -761,7 +828,7 @@ def _lik_prepare(pv_ref, table_ref, scr, j, *, ppb, wr, wc, crop128,
 
 def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
                 pp_ref, table_ref, lik_scratch, *, wr, num_beams,
-                logical_rows, logical_cols, qu=None, check_rows=True):
+                logical_rows, logical_cols, qu=None, check_rows=True, binu=None):
     """Two particles, ONE [wr, 128] cell-pass evaluation: particle A's
     disc occupies view lanes [0, 64), B's [64, 128) (view lane l maps to
     grid column l + gofs[l]).  The ALU-bound per-cell pass is pure
@@ -819,7 +886,7 @@ def _pack2_body(srcA, srcB, dstA, dstB, iA, iB, kA, kB, off_ref, uoff_ref,
                       num_beams=num_beams, r0=r0v,
                       logical_rows=logical_rows,
                       logical_cols=logical_cols, c0=gofs,
-                      return_inc=True, qu=qu, check_rows=check_rows)
+                      return_inc=True, qu=qu, binu=binu, check_rows=check_rows)
 
     l64 = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1) < 64
     incA = pltpu.roll(jnp.where(l64, incp, 0.0), uA, 1)
@@ -834,7 +901,7 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                      grid_in, lik_ref, grid_out, xi_s=None, yi_s=None,
                      use_s=None, odds_s=None, *, wr, cols, wc, num_beams,
                      logical_rows, logical_cols, ppb, crop128,
-                     pack2=False, qu=None, check_rows=True):
+                     pack2=False, qu=None, check_rows=True, binu=None):
     """``ppb`` particles per grid program (statically unrolled).
 
     Per-program overhead is the measured bottleneck of this kernel, not
@@ -857,7 +924,7 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                         grid_out.at[iB], iA, iB, kA, kB, off_ref,
                         uoff_ref, pp_ref, table_ref, scr, wr=wr,
                         num_beams=num_beams, logical_rows=logical_rows,
-                        logical_cols=logical_cols, qu=qu,
+                        logical_cols=logical_cols, qu=qu, binu=binu,
                         check_rows=check_rows)
         _lik_finish_batched(odds_s, use_s, lik_ref)
         return
@@ -868,7 +935,7 @@ def _kernel_resident(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                        cols=cols, wc=wc, num_beams=num_beams,
                        logical_rows=logical_rows,
                        logical_cols=logical_cols, ppb=ppb,
-                       crop128=crop128, lik_scratch=scr, qu=qu,
+                       crop128=crop128, lik_scratch=scr, qu=qu, binu=binu,
                        check_rows=check_rows)
     if scr is not None:
         _lik_finish_batched(odds_s, use_s, lik_ref)
@@ -879,7 +946,7 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                          xi_s=None, yi_s=None, use_s=None, odds_s=None, *,
                          wr, cols, wc, num_beams, logical_rows,
                          logical_cols, ppb, crop128, pack2=False,
-                         qu=None, check_rows=True):
+                         qu=None, check_rows=True, binu=None):
     """Deferred-resample variant: particle i continues lineage
     ``anc_ref[i]`` — the systematic-resample ancestor gather becomes an
     index indirection here instead of a separate whole-map ``jnp.take``
@@ -907,7 +974,7 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                         grid_out.at[iB], iA, iB, kA, kB, off_ref,
                         uoff_ref, pp_ref, table_ref, scr, wr=wr,
                         num_beams=num_beams, logical_rows=logical_rows,
-                        logical_cols=logical_cols, qu=qu,
+                        logical_cols=logical_cols, qu=qu, binu=binu,
                         check_rows=check_rows)
         _lik_finish_batched(odds_s, use_s, lik_ref)
         return
@@ -920,7 +987,7 @@ def _kernel_resident_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref,
                        cols=cols, wc=wc, num_beams=num_beams,
                        logical_rows=logical_rows,
                        logical_cols=logical_cols, ppb=ppb,
-                       crop128=crop128, lik_scratch=scr, qu=qu,
+                       crop128=crop128, lik_scratch=scr, qu=qu, binu=binu,
                        check_rows=check_rows)
     if scr is not None:
         _lik_finish_batched(odds_s, use_s, lik_ref)
@@ -931,7 +998,7 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, pv_ref,
                     sem_out, sem_band, xi_s=None, yi_s=None, use_s=None,
                     odds_s=None, *, wr, wc, num_beams, logical_rows,
                     logical_cols, ppb, crop128, rows, qu=None,
-                    check_rows=True):
+                    check_rows=True, binu=None):
     """Deferred-lineage HBM kernel: the resample's map copy FUSED into the
     update's own DMA schedule (particle.rs:78-105 + map.rs:71-145 in one
     pass).
@@ -1035,7 +1102,7 @@ def _kernel_hbm_anc(anc_ref, off_ref, coff_ref, uoff_ref, pp_ref, pv_ref,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr, qu=qu,
+                        crop128=crop128, lik_scratch=scr, qu=qu, binu=binu,
                         check_rows=check_rows)
         if band > 0:
             ba, bb = band_copies(j, slot, k)
@@ -1198,7 +1265,7 @@ def shared_window_plan(spos: Array, r0: Array, u0: Array, nw: int):
 
 def _cached_body(w_out, i, k, r0, uoff_ref, pp_ref, table_ref, lik_ref,
                  wcache, cslot, fill, *, wr, num_beams, logical_rows,
-                 logical_cols, lik_scratch, qu, check_rows=True):
+                 logical_cols, lik_scratch, qu, check_rows=True, binu=None):
     """Shared-window-cache variant of :func:`_window_compute` (pair-mode
     crop128, full-width windows): the pre-rolled i32 sublane-pair window
     lives in ``wcache[cslot]``.  Fillers (``fill == 1``) produce it from
@@ -1223,7 +1290,7 @@ def _cached_body(w_out, i, k, r0, uoff_ref, pp_ref, table_ref, lik_ref,
     out = _cell_pass(w32, params, table_ref, wr=wr, cols=128,
                      num_beams=num_beams, r0=r0,
                      logical_rows=logical_rows, logical_cols=logical_cols,
-                     c0=u0, qu=qu, check_rows=check_rows)
+                     c0=u0, qu=qu, binu=binu, check_rows=check_rows)
     out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
     w_out[...] = pltpu.bitcast(
         pltpu.roll(jnp.concatenate([out_p, rolledp[:, 128:]], axis=1),
@@ -1232,7 +1299,7 @@ def _cached_body(w_out, i, k, r0, uoff_ref, pp_ref, table_ref, lik_ref,
 
 def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, *rest, wr, wc,
                        num_beams, logical_rows, logical_cols, ppb,
-                       crop128, rows, qu=None, nw=0, check_rows=True):
+                       crop128, rows, qu=None, nw=0, check_rows=True, binu=None):
     """Deferred-lineage HBM kernel WITH in-place aliasing — the design
     :func:`_kernel_hbm_anc` measured out of reach (its docstring: a
     lineage kernel cannot alias its in/out grid buffers, and the
@@ -1400,14 +1467,14 @@ def _kernel_hbm_staged(spos_ref, usrc_ref, cnt_ref, *rest, wr, wc,
                          wr=wr, num_beams=num_beams,
                          logical_rows=logical_rows,
                          logical_cols=logical_cols, lik_scratch=scr,
-                         qu=qu, check_rows=check_rows)
+                         qu=qu, binu=binu, check_rows=check_rows)
         else:
             _window_compute(win.at[slot, k], win.at[slot, k], i, k, r0,
                             None, uoff_ref, pp_ref, table_ref, lik_ref,
                             wr=wr, wc=wc, num_beams=num_beams,
                             logical_rows=logical_rows,
                             logical_cols=logical_cols, ppb=ppb,
-                            crop128=crop128, lik_scratch=scr, qu=qu,
+                            crop128=crop128, lik_scratch=scr, qu=qu, binu=binu,
                             check_rows=check_rows)
         if band > 0:
             @pl.when(spos_ref[i] >= 0)
@@ -1430,7 +1497,7 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                 grid_in, lik_ref, grid_out, win, sem_in, sem_out,
                 xi_s=None, yi_s=None, use_s=None, odds_s=None, *, wr, wc,
                 num_beams, logical_rows, logical_cols, ppb, crop128,
-                qu=None, check_rows=True):
+                qu=None, check_rows=True, binu=None):
     """HBM-grid variant: the per-particle window is BOTH row- and
     column-cropped ([wr, wc] with a 128-aligned column offset), so huge
     maps (config 3: 1000x1024 cells) move only the scan-disc
@@ -1500,7 +1567,7 @@ def _kernel_hbm(off_ref, coff_ref, uoff_ref, pp_ref, pv_ref, table_ref,
                         wc=wc, num_beams=num_beams,
                         logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr, qu=qu,
+                        crop128=crop128, lik_scratch=scr, qu=qu, binu=binu,
                         check_rows=check_rows)
         out_copy(j, slot, k).start()
 
@@ -1548,7 +1615,8 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     assert cols % 128 == 0, "grid column axis must be padded to 128"
     assert num_beams <= 383, "beam table gather covers bins [0, 384) only"
     if dphi is None:
-        dphi = jnp.float32(2.0 * pymath.pi / num_beams)
+        dphi = 2.0 * pymath.pi / num_beams
+    binu = static_dphi(dphi)
     dphi = jnp.asarray(dphi, jnp.float32)
     wr = window_rows(spec, max_range_m)
     wr = min(wr, rows - rows % 8 if rows % 8 else rows)
@@ -1566,15 +1634,7 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
     cxy = (poses[:, 0:2] - pos) / spec.resolution
     theta = poses[:, 2]
-    # slot 3 carries theta + angles0 pre-folded (the cell pass's only
-    # use of either); slots 4/5 are the two per-particle transcendentals
-    pp = jnp.stack([cxy[:, 0], cxy[:, 1], theta,
-                    theta + jnp.broadcast_to(
-                        angles0, (p,)).astype(jnp.float32),
-                    jnp.cos(theta), jnp.sin(theta),
-                    jnp.broadcast_to(dphi, (p,)),
-                    jnp.broadcast_to(1.0 / dphi, (p,))],
-                   axis=-1)
+    pp = _pp_table(cxy, theta, angles0, dphi, p, binu)
 
     # window row offset: center the disc, clamp, 8-align
     r0 = jnp.round(cxy[:, 1]).astype(jnp.int32) - wr // 2
@@ -1690,30 +1750,30 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
             kernel = functools.partial(
                 _kernel_hbm_staged, wr=wr, wc=wc, num_beams=num_beams,
                 logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-                crop128=crop128, rows=rows, qu=qu, nw=nw,
+                crop128=crop128, rows=rows, qu=qu, binu=binu, nw=nw,
                 check_rows=chk_rows)
         else:
             kernel = functools.partial(
                 _kernel_hbm_anc, wr=wr, wc=wc, num_beams=num_beams,
                 logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-                crop128=crop128, rows=rows, qu=qu, check_rows=chk_rows)
+                crop128=crop128, rows=rows, qu=qu, binu=binu, check_rows=chk_rows)
     elif deferred:
         kernel = functools.partial(
             _kernel_resident_anc, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
             logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2,
-            qu=qu, check_rows=chk_rows)
+            qu=qu, binu=binu, check_rows=chk_rows)
     elif resident:
         kernel = functools.partial(
             _kernel_resident, wr=wr, cols=cols, wc=wc,
             num_beams=num_beams, logical_rows=spec.rows,
             logical_cols=spec.cols, ppb=ppb, crop128=crop128, pack2=pk2,
-            qu=qu, check_rows=chk_rows)
+            qu=qu, binu=binu, check_rows=chk_rows)
     else:
         kernel = functools.partial(
             _kernel_hbm, wr=wr, wc=wc, num_beams=num_beams,
             logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-            crop128=crop128, qu=qu, check_rows=chk_rows)
+            crop128=crop128, qu=qu, binu=binu, check_rows=chk_rows)
     space = pltpu.VMEM if resident else pl.ANY
     if resident:
         scratch = []
@@ -1824,7 +1884,8 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
     r0 = jnp.clip(r0, 0, max(rows - wr, 0))
     r0 = (r0 // 8) * 8
     if dphi is None:
-        dphi = jnp.float32(2.0 * pymath.pi / num_beams)
+        dphi = 2.0 * pymath.pi / num_beams
+    binu = static_dphi(dphi)
     dphi = jnp.asarray(dphi, jnp.float32)
     table = encode_beam_table(distances / spec.resolution, valid, present,
                               angles0, dphi)
@@ -1868,17 +1929,29 @@ def fused_update_reference(grids, poses, angles0, distances, valid, present,
         r2 = dx * dx + dy * dy
         r = jnp.sqrt(r2)
         phi = jnp.arctan2(dy, dx)
-        inv_dphi = 1.0 / dphi
-        ta = theta + angles0
-        nb_f = two_pi * inv_dphi
-        b0 = phi * inv_dphi - ta * inv_dphi
-        b0 = b0 - nb_f * jnp.floor(b0 * (dphi * (1.0 / two_pi)))
-        bins_f = jnp.round(b0)
-        wrap = bins_f >= nb_f - 0.5
-        absent = (bins_f > num_beams - 1) & (~wrap)
-        bins_f = jnp.where(wrap, 0.0, bins_f)
-        bins_f = jnp.where(absent, float(num_beams), bins_f)
-        bins = bins_f.astype(jnp.int32)
+        if binu is not None:
+            # static bin-units mirror (see _cell_pass; exact arctan2
+            # stands in for the kernel's minimax poly): floor-form
+            # rounding constant T, wrap bounds bins to [0, nbf] —
+            # padding lanes [num_beams, 512) decode absent directly
+            inv_s = jnp.float32(1.0 / binu)
+            nbf = two_pi / binu
+            t_const = (theta + angles0) * inv_s - 0.5
+            b0 = phi * inv_s - t_const
+            b0 = b0 - nbf * jnp.floor(b0 * (1.0 / nbf))
+            bins = jnp.floor(b0).astype(jnp.int32)
+        else:
+            inv_dphi = 1.0 / dphi
+            ta = theta + angles0
+            nb_f = two_pi * inv_dphi
+            b0 = phi * inv_dphi - ta * inv_dphi
+            b0 = b0 - nb_f * jnp.floor(b0 * (dphi * (1.0 / two_pi)))
+            bins_f = jnp.round(b0)
+            wrap = bins_f >= nb_f - 0.5
+            absent = (bins_f > num_beams - 1) & (~wrap)
+            bins_f = jnp.where(wrap, 0.0, bins_f)
+            bins_f = jnp.where(absent, float(num_beams), bins_f)
+            bins = bins_f.astype(jnp.int32)
         # mirror of the kernel's squared-space decode (single gather),
         # including the packed row's static distance quantum
         d_enc = table[0][bins]

@@ -64,6 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from slamrs_tpu.ops.fused import (_SHAREWIN_SLOTS, _cell_pass,
+                                  _pp_table, static_dphi,
                                   _lik_finish_batched,
                                   _lik_gather_fold_packed, _lik_prepare,
                                   _params, _window_compute,
@@ -246,7 +247,7 @@ def _kernel_tiled(src0_ref, src1_ref, dst0_ref, dst1_ref, off_ref,
                   pool_in, lik_ref, pool_out, win, sem_in, sem_out,
                   sem_band, xi_s=None, yi_s=None, use_s=None, odds_s=None,
                   *, wr, hb, wc, num_beams, logical_rows, logical_cols,
-                  ppb, crop128, qu=None):
+                  ppb, crop128, qu=None, binu=None):
     """Per particle: DMA the two touched bands' [hb, wc] column slices
     into a [2*hb, wc] VMEM window, run the shared likelihood+integrate
     compute on the 8-aligned [wr, wc] view inside it, write both band
@@ -326,7 +327,7 @@ def _kernel_tiled(src0_ref, src1_ref, dst0_ref, dst1_ref, off_ref,
                         table_ref, lik_ref, wr=wr, wc=wc,
                         num_beams=num_beams, logical_rows=logical_rows,
                         logical_cols=logical_cols, ppb=ppb,
-                        crop128=crop128, lik_scratch=scr, qu=qu)
+                        crop128=crop128, lik_scratch=scr, qu=qu, binu=binu)
         for half in range(2):
             @pl.when(dsts[half][i] != srcs[half][i])
             def _():
@@ -345,7 +346,7 @@ def _kernel_tiled(src0_ref, src1_ref, dst0_ref, dst1_ref, off_ref,
 
 def _cached_body_span(w_out, i, kk, r0, woff, uoff_ref, pp_ref, table_ref,
                       lik_ref, wcache, cslot, fill, *, wr, num_beams,
-                      logical_rows, logical_cols, lik_scratch, qu):
+                      logical_rows, logical_cols, lik_scratch, qu, binu):
     """Shared-window-cache compute on a k-band [ktot, wc] VMEM window
     whose [wr, wc] view starts at in-window row ``woff`` (8-aligned).
 
@@ -383,7 +384,7 @@ def _cached_body_span(w_out, i, kk, r0, woff, uoff_ref, pp_ref, table_ref,
     out = _cell_pass(w32, params, table_ref, wr=wr, cols=128,
                      num_beams=num_beams, r0=r0,
                      logical_rows=logical_rows, logical_cols=logical_cols,
-                     c0=u0, qu=qu)
+                     c0=u0, qu=qu, binu=binu)
     out_p = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)
     w_out[pl.ds(woff, wr), :] = pltpu.bitcast(
         pltpu.roll(jnp.concatenate([out_p, viewp[:, 128:]], axis=1),
@@ -391,7 +392,7 @@ def _cached_body_span(w_out, i, kk, r0, woff, uoff_ref, pp_ref, table_ref,
 
 
 def _kernel_tiled_cached(*refs, wr, hb, kspan, wc, num_beams,
-                         logical_rows, logical_cols, ppb, qu, nw):
+                         logical_rows, logical_cols, ppb, qu, nw, binu):
     """K-band-span tiled kernel with the shared-window cache — the
     0.02 m-class formulation (full-width maps whose window covers most
     map rows, bands much narrower than the window).
@@ -501,7 +502,7 @@ def _kernel_tiled_cached(*refs, wr, hb, kspan, wc, num_beams,
                           wfill_ref[i], wr=wr, num_beams=num_beams,
                           logical_rows=logical_rows,
                           logical_cols=logical_cols, lik_scratch=scr,
-                          qu=qu)
+                          qu=qu, binu=binu)
         for half in range(kspan):
             out_copy(j, slot, kk, half).start()
 
@@ -544,8 +545,8 @@ def fused_update_tiled(pool: Array, table: Array, poses: Array,
     assert cols % 128 == 0
     assert num_beams <= 383
     if dphi is None:
-        dphi = jnp.float32(2.0 * pymath.pi / num_beams)
-    dphi = jnp.asarray(dphi, jnp.float32)
+        dphi = 2.0 * pymath.pi / num_beams
+    binu = static_dphi(dphi)
     wr = window_rows(spec, max_range_m)
     assert hb % 8 == 0, hb
     if wr > hb + 1:
@@ -553,6 +554,7 @@ def fused_update_tiled(pool: Array, table: Array, poses: Array,
         return _fused_update_tiled_kspan(
             pool, table, poses, angles0, distances, valid, present,
             spec, num_beams, max_range_m, dphi, interpret, ancestors)
+    dphi = jnp.asarray(dphi, jnp.float32)
     rows_pad = nb * hb
 
     # column windows + crop128 roll: same policy as fused_update
@@ -564,13 +566,7 @@ def fused_update_tiled(pool: Array, table: Array, poses: Array,
     pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
     cxy = (poses[:, 0:2] - pos) / spec.resolution
     theta = poses[:, 2]
-    pp = jnp.stack([cxy[:, 0], cxy[:, 1], theta,
-                    theta + jnp.broadcast_to(
-                        angles0, (p,)).astype(jnp.float32),
-                    jnp.cos(theta), jnp.sin(theta),
-                    jnp.broadcast_to(dphi, (p,)),
-                    jnp.broadcast_to(1.0 / dphi, (p,))],
-                   axis=-1)
+    pp = _pp_table(cxy, theta, angles0, dphi, p, binu)
 
     # window row offset within the padded grid (identical construction
     # to fused_update), then its 2-band span: bands t0/t0+1 with the
@@ -607,7 +603,7 @@ def fused_update_tiled(pool: Array, table: Array, poses: Array,
     kernel = functools.partial(
         _kernel_tiled, wr=wr, hb=hb, wc=wc, num_beams=num_beams,
         logical_rows=spec.rows, logical_cols=spec.cols, ppb=ppb,
-        crop128=crop128, qu=qu)
+        crop128=crop128, qu=qu, binu=binu)
 
     scratch = [
         pltpu.VMEM((2, ppb, 2 * hb, wc), pool.dtype),
@@ -673,6 +669,8 @@ def _fused_update_tiled_kspan(pool, table, poses, angles0, distances,
     p = table.shape[0]
     n_phys, hb, cols = pool.shape
     nb = table.shape[1]
+    binu = static_dphi(dphi)
+    dphi = jnp.asarray(dphi, jnp.float32)
     wr, kspan, nb_need = span_geometry(spec, max_range_m, hb)
     assert nb >= nb_need, (nb, nb_need)
     assert pool.dtype == jnp.bfloat16, pool.dtype
@@ -689,13 +687,7 @@ def _fused_update_tiled_kspan(pool, table, poses, angles0, distances,
     pos = jnp.array([spec.position_x, spec.position_y], jnp.float32)
     cxy = (poses[:, 0:2] - pos) / spec.resolution
     theta = poses[:, 2]
-    pp = jnp.stack([cxy[:, 0], cxy[:, 1], theta,
-                    theta + jnp.broadcast_to(
-                        angles0, (p,)).astype(jnp.float32),
-                    jnp.cos(theta), jnp.sin(theta),
-                    jnp.broadcast_to(dphi, (p,)),
-                    jnp.broadcast_to(1.0 / dphi, (p,))],
-                   axis=-1)
+    pp = _pp_table(cxy, theta, angles0, dphi, p, binu)
 
     # window row origin: the dense kernel's 8/8 construction, clipped
     # into band padding like the 2-band kernel (masked rows stay 0)
@@ -746,7 +738,7 @@ def _fused_update_tiled_kspan(pool, table, poses, angles0, distances,
     kernel = functools.partial(
         _kernel_tiled_cached, wr=wr, hb=hb, kspan=kspan, wc=wc,
         num_beams=num_beams, logical_rows=spec.rows,
-        logical_cols=spec.cols, ppb=ppb, qu=qu, nw=nw)
+        logical_cols=spec.cols, ppb=ppb, qu=qu, nw=nw, binu=binu)
 
     ktot = kspan * hb
     n_chunks = -(-num_beams // 128)

@@ -38,7 +38,8 @@ def fused_update_batched(grids: Array, poses: Array, angles0: Array,
                          spec: GridSpec2D, num_beams: int,
                          max_range_m: float, dphi: Array,
                          mesh: Mesh | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         dphi_static: float | None = None):
     """Batched-worlds fused update: grids [W, P, H, C], poses [W, P, 3],
     per-world scan arrays ([W] / [W, B]).
 
@@ -58,8 +59,9 @@ def fused_update_batched(grids: Array, poses: Array, angles0: Array,
                               max_range_m=max_range_m, resident=resident,
                               interpret=interpret)
         return jax.vmap(lambda gg, qq, aa, dd, vv, pp, ddp:
-                        f(gg, qq, aa, dd, vv, pp, dphi=ddp))(
-                            g, q, a0, d, v, pr, dp)
+                        f(gg, qq, aa, dd, vv, pp,
+                          dphi=dphi_static if dphi_static is not None
+                          else ddp))(g, q, a0, d, v, pr, dp)
 
     if mesh is None:
         return run_block(grids, poses, angles0, distances, valid, present,
