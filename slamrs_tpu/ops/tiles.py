@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import functools
 import math as pymath
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,15 @@ from slamrs_tpu.ops.fused import (_SHAREWIN_SLOTS, _cell_pass,
 from slamrs_tpu.ops.grid import ADDITIONAL_STEPS, GridSpec2D
 
 Array = jnp.ndarray
+
+# profiling-only ablation (benchmarks/prof_tiled.py): skip the fresh-tile
+# band copies — OUTPUT IS WRONG outside window columns; timing isolates
+# the copies' share of the tiled update
+_NOBANDS = bool(os.environ.get("SLAMRS_TILES_NOBANDS"))
+if _NOBANDS:
+    print("WARNING: SLAMRS_TILES_NOBANDS active — tiled maps are "
+          "INCORRECT outside window columns (profiling only)",
+          flush=True)
 
 
 def tile_geometry(spec: GridSpec2D, max_range_m: float,
@@ -287,6 +297,8 @@ def _kernel_tiled(src0_ref, src1_ref, dst0_ref, dst1_ref, off_ref,
         for half in range(2):
             in_copy(jj, s, k, half).start()
             i = jj * ppb + k
+            if _NOBANDS:  # profiling only (module-level warning)
+                continue
 
             @pl.when(dsts[half][i] != srcs[half][i])
             def _():
@@ -329,9 +341,10 @@ def _kernel_tiled(src0_ref, src1_ref, dst0_ref, dst1_ref, off_ref,
                         logical_cols=logical_cols, ppb=ppb,
                         crop128=crop128, lik_scratch=scr, qu=qu, binu=binu)
         for half in range(2):
-            @pl.when(dsts[half][i] != srcs[half][i])
-            def _():
-                band_copy(j, slot, k, half).wait()
+            if not _NOBANDS:
+                @pl.when(dsts[half][i] != srcs[half][i])
+                def _():
+                    band_copy(j, slot, k, half).wait()
             out_copy(j, slot, k, half).start()
 
     if scr is not None:

@@ -523,3 +523,31 @@ def test_window_rows_covers_disc():
     disc = 2 * (int(np.ceil(1.0 / SPEC.resolution)) + 3) + 1
     assert wr % 8 == 0 and wr >= min(disc, SPEC.rows)
 
+
+def test_static_bin_pipeline_matches_traced():
+    """The static-dphi bin-units pipeline (1/dphi folded into the atan2
+    constants, floor-form rounding, clamp elision — ops/fused._cell_pass)
+    must agree with the traced-dphi pipeline of the SAME spacing: bin
+    assignments identical except ~ulp rounding-path boundary flips, and
+    the endpoint likelihood (independent of the bin pipeline) tight."""
+    grids, poses, dist, valid, present = _mk(p=4, seed=11)
+    a0 = jnp.float32(0.1)
+    dphi = 2 * np.pi / B
+    g_s, l_s = fused_update(grids, poses, a0, dist, valid, present,
+                            SPEC, B, 1.0, interpret=True, dphi=dphi)
+    g_t, l_t = fused_update(grids, poses, a0, dist, valid, present,
+                            SPEC, B, 1.0, interpret=True,
+                            dphi=jnp.float32(dphi))
+    flip = float((np.abs(np.asarray(g_s) - np.asarray(g_t)) > 0.01).mean())
+    assert flip < 1e-4, f"static-vs-traced bin-flip fraction {flip}"
+    np.testing.assert_allclose(np.asarray(l_s), np.asarray(l_t),
+                               rtol=1e-5, atol=1e-4)
+    # the traced path must ALSO still match the traced oracle (the
+    # static branch must not rot the generic pipeline)
+    g_o, l_o = fused_update_reference(grids, poses, a0, dist, valid,
+                                      present, SPEC, B, 1.0,
+                                      dphi=jnp.float32(dphi))
+    flip_o = float((np.abs(np.asarray(g_t) - np.asarray(g_o)) > 0.01).mean())
+    assert flip_o < 1e-4, f"traced-vs-oracle bin-flip fraction {flip_o}"
+    np.testing.assert_allclose(np.asarray(l_t), np.asarray(l_o),
+                               rtol=1e-5, atol=1e-4)
