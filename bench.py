@@ -326,14 +326,16 @@ def main() -> None:
         except Exception as e:
             print(f"  f32 bench failed: {e}", file=sys.stderr)
         try:
-            v = bench_grid_slam(update_period=0.0, n2=1050)
+            # reps=5: round-target metric — tunnel noise must not decide
+            # a 7% claim (CLAUDE.md: trust agreeing runs, not one)
+            v = bench_grid_slam(update_period=0.0, n2=1050, reps=5)
             note("grid_slam_steps_per_s_scan_every_tick_1024p_0.05m", v,
                  "steps/s")
         except Exception as e:  # pragma: no cover
             print(f"  every-tick bench failed: {e}", file=sys.stderr)
         try:
             v = bench_grid_slam(resolution=0.02, grid_dtype="bfloat16",
-                                n2=1050)
+                                n2=1050, reps=5)
             note("grid_slam_ticks_per_s_ref_cadence_1024p_0.02m_bf16", v,
                  "ticks/s")
         except Exception as e:

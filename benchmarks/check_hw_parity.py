@@ -16,7 +16,10 @@ Checks (all compiled, interpret=False):
 Prints PASS/FAIL per check; exits nonzero on any FAIL.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
