@@ -47,12 +47,16 @@ HBM_GBPS = 633e9
 DMA_ISSUE_US = 1.0
 
 _CHILD = r"""
-import sys, time
+import math, os, sys, time
 import jax, jax.numpy as jnp
 from slamrs_tpu.ops.fused import fused_update
 from slamrs_tpu.ops.grid import GridSpec2D
 
 point = sys.argv[1]
+# SLAMRS_ROOFLINE_TRACED=1: pass dphi as a traced f32 so the kernel runs
+# the TRACED bin pipeline — the direct A/B of the static-dphi rewrite
+dphi_arg = (jnp.float32(2 * math.pi / 360)
+            if os.environ.get("SLAMRS_ROOFLINE_TRACED") else None)
 p, nb, maxr = 1024, 360, 1.0
 res = 0.05 if point == "A" else 0.02
 spec = GridSpec2D(-2.0, -2.0, 4.0, 4.0, res)
@@ -82,7 +86,7 @@ def make_run(n):
             g2, lik = fused_update(g, poses, jnp.float32(0.0), dist,
                                    valid, present, spec, nb, maxr,
                                    resident=(point == "A"),
-                                   ancestors=anc)
+                                   ancestors=anc, dphi=dphi_arg)
             return g2, jnp.sum(lik)
         g, liks = jax.lax.scan(body, g, None, length=n)
         return jnp.sum(liks) + jnp.float32(g[0, 0, 0])

@@ -107,6 +107,23 @@ _NOMERGE = bool(os.environ.get("SLAMRS_FUSED_NOMERGE"))
 # measurement of "effective uniques" the e2e back-solve estimated
 # (benchmarks/prof_uniq.py; VERDICT r4 #3).  Frozen at import.
 _DEBUG_GROUPS = bool(os.environ.get("SLAMRS_FUSED_DEBUG_GROUPS"))
+# extra lineage-path window rows (8-multiple; see fused_update) — a
+# measured-experiment hook, default off
+_WRPLUS = int(os.environ.get("SLAMRS_FUSED_WRPLUS", "0") or 0)
+assert _WRPLUS % 8 == 0, _WRPLUS
+# bf16 ISM/density tail in the cell pass (the VERDICT r4 #1a lever,
+# measured-experiment hook, default off).  The BIN pipeline must stay
+# f32 — 360 bins are not representable past bf16's ulp of 2.0 at
+# >= 256, and even the octant-reduced atan2 poly output carries a
+# 0.25-bin ulp (would flip 10-25% of assignments vs the gated ~1e-6
+# traced-pipeline class) — so only the tail off the already-quantized
+# ``d`` drops precision: the ISM interval compares in squared space
+# (boundary fuzz <= ulp(r2)/(2 d) ~ 0.16 cells at the 0.02 m disc
+# edge, the order of the pack3 quantum), the density rsqrt (a <= 0.4%
+# perturbation of a multiplicity-compensation factor), and the
+# increment select.  ~23 of the ~79 per-cell vector ops move to the
+# 1.5x bf16 ALU at the cost of 3 casts.  Frozen at import.
+_CELL_BF16 = bool(os.environ.get("SLAMRS_FUSED_CELL_BF16"))
 
 _BEAM_PAD = 512  # beam table lanes (360 -> 3 gather chunks of 128 + pad)
 
@@ -654,19 +671,30 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
         present = d_enc != 0.0  # +-0.0 -> absent (IEEE: -0.0 == 0.0)
         d = jnp.abs(d_enc)
     half = TOLERANCE_CELLS / 2.0
+    if _CELL_BF16:
+        # bf16 tail (module-level hook note): compares, density and the
+        # increment select on the 1.5x packed ALU; d/r2 cast down once,
+        # python-literal constants follow the array dtype (weak typing)
+        d = d.astype(jnp.bfloat16)
+        r2c = r2.astype(jnp.bfloat16)
+        inv_dphi = inv_dphi.astype(jnp.bfloat16)
+    else:
+        r2c = r2
+    cdt = r2c.dtype
     # select-then-square: one multiply instead of two, identical values
     am = jnp.where(was_hit, jnp.maximum(d - half, 0.0), d)
     a_sq = am * am
     dp = d + half
-    b_sq = jnp.where(was_hit, dp * dp, -1.0)
-    inc = jnp.where(r2 < a_sq, L_FREE,
-                    jnp.where(r2 <= b_sq, L_OCCUPIED, 0.0))
+    b_sq = jnp.where(was_hit, dp * dp, jnp.asarray(-1.0, cdt))
+    inc = jnp.where(r2c < a_sq, jnp.asarray(L_FREE, cdt),
+                    jnp.where(r2c <= b_sq, jnp.asarray(L_OCCUPIED, cdt),
+                              jnp.asarray(0.0, cdt)))
     # multiplicity compensation: beams-per-cell density near the robot.
     # rsqrt stays: sqrt+pl.reciprocal measured ~5x cheaper in an
     # isolated chain (benchmarks/prof_ops.py) but regressed the full
     # kernel — see _atan2's docstring for the same in-context effect.
     dens = (jnp.float32(1.0) if _ABLATE == "nodens" else
-            jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2, 0.25))
+            jnp.maximum(1.0, jax.lax.rsqrt(jnp.maximum(r2c, 0.25))
                         * inv_dphi))
     # row bound: statically true whenever the caller proves the window
     # cannot extend past the logical rows (r0 <= rows - wr and the
@@ -676,6 +704,10 @@ def _cell_pass(w32, params, table_ref, *, wr, cols, num_beams, r0,
     if check_rows:
         in_bounds = in_bounds & (wyl < float(logical_rows) - r0f)
     inc = jnp.where(present & in_bounds, inc * dens, 0.0)
+    if inc.dtype != jnp.float32:
+        # widen once at the end (pltpu.roll on the pack2 return path
+        # only takes 32-bit data; the integrate add is f32 either way)
+        inc = inc.astype(jnp.float32)
 
     # no log-odds clamp: unbounded growth matches the reference and
     # measurably aids long-run localization (see ops.grid LOGODDS_CLAMP
@@ -1620,6 +1652,15 @@ def fused_update(grids: Array, poses: Array, angles0: Array,
     dphi = jnp.asarray(dphi, jnp.float32)
     wr = window_rows(spec, max_range_m)
     wr = min(wr, rows - rows % 8 if rows % 8 else rows)
+    # measurement hook (benchmarks/prof_merge.py wrplus leg): extra
+    # window rows on the lineage path.  window_rows is exactly TIGHT
+    # against a particle's OWN disc under floor8, so same-ancestor
+    # offspring (poses a few cells apart) rarely satisfy
+    # merge_segment_windows' row-coverage condition — slack rows trade
+    # ~wrplus/wr more window DMA+compute for collapsing those window
+    # variants into one shared fill each.
+    if _WRPLUS and ancestors is not None and not resident:
+        wr = min(wr + _WRPLUS, rows - rows % 8 if rows % 8 else rows)
     # HBM windows are column-cropped too: DMA slices must start at
     # 128-aligned columns (Mosaic tiling proof), so the window is 2
     # aligned 128-col blocks covering any disc up to 128 cells wide.
